@@ -1,0 +1,346 @@
+"""Limb-decomposed modular big-integer arithmetic for TPU (JAX).
+
+This module is the TPU-native equivalent of the reference's galois-field /
+GMP layer (SURVEY.md §2.3): all BLS12-381 Fr (255-bit) and Fq (381-bit)
+arithmetic, vectorized over arbitrary batch dimensions.
+
+Representation
+--------------
+A field element is a little-endian vector of 16-bit limbs held in uint32
+lanes: shape (..., L) with L = 16 (Fr) or 24 (Fq). Canonical elements have
+every limb < 2^16 and value < modulus. Elements flowing through multiply
+chains are kept in Montgomery form (value * R mod N, R = 2^(16 L)).
+
+Why 16-bit limbs: TPU has no 64-bit integer multiply; a 16x16 product fits
+exactly in a uint32. Partial products are split into hi/lo 16-bit halves
+before accumulation, so column sums stay < 2^23 — far from overflow — and
+carries are propagated once per operation with a short unrolled sweep.
+
+All loops are over *static* limb counts (unrolled at trace time), so
+everything jits to straight-line XLA with no dynamic shapes.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import constants as C
+
+MASK = np.uint32(C.LIMB_MASK)
+SHIFT = C.LIMB_BITS
+
+
+@dataclasses.dataclass(frozen=True)
+class FieldSpec:
+    """Static parameters of one prime field in limb form."""
+
+    name: str
+    modulus: int
+    nlimbs: int
+
+    def __post_init__(self):
+        L = self.nlimbs
+        object.__setattr__(self, "mont_r", 1 << (SHIFT * L))
+        object.__setattr__(self, "mont_r2", self.mont_r**2 % self.modulus)
+        object.__setattr__(
+            self, "nprime", (-pow(self.modulus, -1, self.mont_r)) % self.mont_r
+        )
+        object.__setattr__(
+            self, "mod_limbs", np.array(C.int_to_limbs(self.modulus, L), np.uint32)
+        )
+        object.__setattr__(
+            self, "nprime_limbs", np.array(C.int_to_limbs(self.nprime, L), np.uint32)
+        )
+        object.__setattr__(
+            self, "r2_limbs", np.array(C.int_to_limbs(self.mont_r2, L), np.uint32)
+        )
+        # modulus - 2, bit-decomposed msb-first (for Fermat inversion)
+        bits = [(self.modulus - 2) >> i & 1 for i in range(self.modulus.bit_length())]
+        object.__setattr__(self, "inv_exp_bits", np.array(bits[::-1], np.uint32))
+
+    # -- host-side converters ------------------------------------------------
+
+    def from_int(self, v, mont: bool = True) -> jnp.ndarray:
+        """Python int (or nested list of ints) -> limb array (Montgomery)."""
+        arr = np.asarray(v, dtype=object)
+        out = np.zeros(arr.shape + (self.nlimbs,), np.uint32)
+        it = np.nditer(arr, flags=["multi_index", "refs_ok"])
+        for x in it:
+            val = int(x.item()) % self.modulus
+            if mont:
+                val = val * self.mont_r % self.modulus
+            out[it.multi_index] = C.int_to_limbs(val, self.nlimbs)
+        return jnp.asarray(out)
+
+    def to_int(self, a, mont: bool = True):
+        """Limb array -> Python int(s) (undoing Montgomery)."""
+        arr = np.asarray(a)
+        rinv = pow(self.mont_r, -1, self.modulus)
+        if arr.ndim == 1:
+            v = C.limbs_to_int(arr)
+            return v * rinv % self.modulus if mont else v
+        flat = arr.reshape(-1, self.nlimbs)
+        vals = [C.limbs_to_int(row) for row in flat]
+        if mont:
+            vals = [v * rinv % self.modulus for v in vals]
+        out = np.empty(len(vals), dtype=object)
+        out[:] = vals
+        return out.reshape(arr.shape[:-1])
+
+    def zeros(self, shape=()) -> jnp.ndarray:
+        return jnp.zeros(tuple(shape) + (self.nlimbs,), jnp.uint32)
+
+    def ones(self, shape=()) -> jnp.ndarray:
+        one = self.from_int(1)
+        return jnp.broadcast_to(one, tuple(shape) + (self.nlimbs,))
+
+
+FR = FieldSpec("Fr", C.R_MOD, C.FR_LIMBS)
+FQ = FieldSpec("Fq", C.Q_MOD, C.FQ_LIMBS)
+
+
+# ---------------------------------------------------------------------------
+# Carry machinery
+# ---------------------------------------------------------------------------
+
+
+def _carry_sweep(cols: jnp.ndarray, out_limbs: int) -> jnp.ndarray:
+    """Propagate carries: columns (each < 2^31) -> canonical 16-bit limbs.
+
+    Sequential over limbs (static unroll), vectorized over batch. The final
+    carry out of the top limb is dropped — callers must guarantee the true
+    value fits in `out_limbs` limbs.
+    """
+    k_in = cols.shape[-1]
+    carry = jnp.zeros(cols.shape[:-1], jnp.uint32)
+    outs = []
+    for k in range(out_limbs):
+        t = (cols[..., k] if k < k_in else jnp.zeros_like(carry)) + carry
+        outs.append(t & MASK)
+        carry = t >> SHIFT
+    return jnp.stack(outs, axis=-1)
+
+
+def _accum_shifted(acc, part, offset, width):
+    """acc[..., offset:offset+width] += part[..., :width] (static slices)."""
+    return acc.at[..., offset : offset + width].add(part[..., :width])
+
+
+def _conv_columns(a: jnp.ndarray, b: jnp.ndarray, out_cols: int) -> jnp.ndarray:
+    """Column sums of the limb product a*b, truncated to out_cols columns.
+
+    Partial products are split hi/lo so every accumulated term is < 2^16;
+    column sums stay < ~2^23 for L <= 48. Returns uint32 columns (NOT
+    carry-propagated).
+    """
+    La, Lb = a.shape[-1], b.shape[-1]
+    prod = a[..., :, None] * b[..., None, :]  # (..., La, Lb) exact in uint32
+    lo = prod & MASK
+    hi = prod >> SHIFT
+    shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    acc = jnp.zeros(shape + (out_cols,), jnp.uint32)
+    for i in range(La):
+        if i >= out_cols:
+            break
+        w_lo = min(Lb, out_cols - i)
+        acc = _accum_shifted(acc, lo[..., i, :], i, w_lo)
+        w_hi = min(Lb, out_cols - i - 1)
+        if w_hi > 0:
+            acc = _accum_shifted(acc, hi[..., i, :], i + 1, w_hi)
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# Comparison / conditional subtract
+# ---------------------------------------------------------------------------
+
+
+def _sub_limbs(a: jnp.ndarray, b: jnp.ndarray):
+    """a - b with borrow propagation. Returns (diff limbs, final borrow)."""
+    L = a.shape[-1]
+    borrow = jnp.zeros(jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1]), jnp.uint32)
+    outs = []
+    for k in range(L):
+        ak = a[..., k]
+        bk = b[..., k] + borrow
+        borrow = (ak < bk).astype(jnp.uint32)
+        outs.append((ak + (borrow << SHIFT)) - bk)
+    return jnp.stack(outs, axis=-1), borrow
+
+
+def _cond_sub_mod(x: jnp.ndarray, spec: FieldSpec) -> jnp.ndarray:
+    """If x >= modulus, return x - modulus, else x. x canonical limbs."""
+    diff, borrow = _sub_limbs(x, jnp.asarray(spec.mod_limbs))
+    take_diff = (borrow == 0)[..., None]
+    return jnp.where(take_diff, diff, x)
+
+
+# ---------------------------------------------------------------------------
+# Public field ops (all keep canonical Montgomery form)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames="spec")
+def add(a, b, spec: FieldSpec):
+    # For both Fr and Fq, 2N < R = 2^(16 L), so the sum of two canonical
+    # values fits in L limbs and one conditional subtract restores < N.
+    cols = a + b  # limbs < 2^17
+    s = _carry_sweep(cols, spec.nlimbs)
+    return _cond_sub_mod(s, spec)
+
+
+@partial(jax.jit, static_argnames="spec")
+def sub(a, b, spec: FieldSpec):
+    diff, borrow = _sub_limbs(a, b)
+    # if borrowed, add modulus back
+    cols = diff + jnp.asarray(spec.mod_limbs)
+    added = _carry_sweep(cols, spec.nlimbs)
+    return jnp.where((borrow != 0)[..., None], added, diff)
+
+
+def neg(a, spec: FieldSpec):
+    return sub(spec.zeros(a.shape[:-1]), a, spec)
+
+
+def _redc(t_limbs: jnp.ndarray, spec: FieldSpec) -> jnp.ndarray:
+    """Separated Montgomery reduction: T (2L canonical limbs) -> T*R^-1 mod N."""
+    L = spec.nlimbs
+    t_lo = t_limbs[..., :L]
+    # m = (T mod R) * N' mod R  (low-half product)
+    m_cols = _conv_columns(t_lo, jnp.asarray(spec.nprime_limbs), L)
+    m = _carry_sweep(m_cols, L)
+    # t2 = T + m*N ; exactly divisible by R, and t2/R < 2N < R for our specs
+    mn_cols = _conv_columns(m, jnp.asarray(spec.mod_limbs), 2 * L)
+    cols = mn_cols + t_limbs  # < 2^23 + 2^16
+    t2 = _carry_sweep(cols, 2 * L + 1)
+    # t2/R < 2N < R, so the limb at position 2L is always zero: drop it.
+    res = t2[..., L : 2 * L]
+    return _cond_sub_mod(res, spec)
+
+
+@partial(jax.jit, static_argnames="spec")
+def mul(a, b, spec: FieldSpec):
+    """Montgomery product: (a*b*R^-1) mod N, canonical."""
+    L = spec.nlimbs
+    cols = _conv_columns(a, b, 2 * L)
+    t = _carry_sweep(cols, 2 * L)
+    return _redc(t, spec)
+
+
+def sqr(a, spec: FieldSpec):
+    return mul(a, a, spec)
+
+
+def mul_small(a, k: int, spec: FieldSpec):
+    """a * k for a small static python int k, via an addition chain.
+
+    Used by curve formulas (k in {2, 3, 4, 8}); each doubling/add is two
+    carry sweeps, far cheaper than a full Montgomery multiply.
+    """
+    if k == 0:
+        return jnp.zeros_like(a)
+    acc = None
+    bit_count = k.bit_length()
+    for i in range(bit_count - 1, -1, -1):
+        if acc is not None:
+            acc = add(acc, acc, spec)
+        if (k >> i) & 1:
+            acc = a if acc is None else add(acc, a, spec)
+    return acc
+
+
+def to_mont(a, spec: FieldSpec):
+    return mul(a, jnp.asarray(spec.r2_limbs), spec)
+
+
+def from_mont(a, spec: FieldSpec):
+    L = spec.nlimbs
+    t = jnp.concatenate([a, jnp.zeros(a.shape[:-1] + (L,), jnp.uint32)], axis=-1)
+    return _redc(t, spec)
+
+
+@partial(jax.jit, static_argnames="spec")
+def inv(a, spec: FieldSpec):
+    """Fermat inversion a^(N-2); stays in Montgomery form. 0 -> 0."""
+    bits = spec.inv_exp_bits  # msb-first
+    one = jnp.broadcast_to(spec.from_int(1), a.shape)
+    acc = one
+
+    def body(acc, bit):
+        acc = sqr(acc, spec)
+        acc = jnp.where(bit != 0, mul(acc, a, spec), acc)
+        return acc, None
+
+    acc, _ = jax.lax.scan(body, acc, jnp.asarray(bits))
+    return acc
+
+
+@partial(jax.jit, static_argnames="spec")
+def batch_inv(a, spec: FieldSpec):
+    """Montgomery-trick batch inversion along the LEADING axis: one field
+    inversion plus 3(n-1) multiplies, as two lax.scans.
+
+    Zero inputs map to zero outputs (needed for curve-op edge cases).
+    """
+    is_zero = jnp.all(a == 0, axis=-1, keepdims=True)
+    one = jnp.broadcast_to(spec.from_int(1), a.shape[1:])
+    safe = jnp.where(is_zero, jnp.broadcast_to(one, a.shape), a)
+
+    def fwd(carry, x):
+        nxt = mul(carry, x, spec)
+        return nxt, carry  # emit the prefix EXCLUDING x
+
+    total, prefix_excl = jax.lax.scan(fwd, one, safe)
+    total_inv = inv(total, spec)
+
+    def bwd(carry, xs):
+        x, pfx = xs
+        out = mul(carry, pfx, spec)  # inv of x
+        nxt = mul(carry, x, spec)
+        return nxt, out
+
+    _, outs_rev = jax.lax.scan(bwd, total_inv, (safe, prefix_excl), reverse=True)
+    return jnp.where(is_zero, jnp.zeros_like(outs_rev), outs_rev)
+
+
+def is_zero(a) -> jnp.ndarray:
+    """Elementwise zero test over the limb axis -> bool (...,)."""
+    return jnp.all(a == 0, axis=-1)
+
+
+def eq(a, b) -> jnp.ndarray:
+    return jnp.all(a == b, axis=-1)
+
+
+def select(cond, a, b):
+    """Branchless select: cond (...,) bool; a, b limb arrays."""
+    return jnp.where(cond[..., None], a, b)
+
+
+def pow_fixed(a, exponent: int, spec: FieldSpec):
+    """a^exponent for a static python-int exponent (square & multiply)."""
+    if exponent == 0:
+        return jnp.broadcast_to(spec.from_int(1), a.shape)
+    bits = [(exponent >> i) & 1 for i in range(exponent.bit_length())][::-1]
+    acc = a
+    for bit in bits[1:]:
+        acc = sqr(acc, spec)
+        if bit:
+            acc = mul(acc, a, spec)
+    return acc
+
+
+# Convenience partials for the two concrete fields ---------------------------
+
+fr_add = partial(add, spec=FR)
+fr_sub = partial(sub, spec=FR)
+fr_mul = partial(mul, spec=FR)
+fr_inv = partial(inv, spec=FR)
+fq_add = partial(add, spec=FQ)
+fq_sub = partial(sub, spec=FQ)
+fq_mul = partial(mul, spec=FQ)
+fq_inv = partial(inv, spec=FQ)
