@@ -108,26 +108,41 @@ FQ = FieldSpec("Fq", C.Q_MOD, C.FQ_LIMBS)
 # ---------------------------------------------------------------------------
 
 
-def _carry_sweep(cols: jnp.ndarray, out_limbs: int) -> jnp.ndarray:
-    """Propagate carries: columns (each < 2^31) -> canonical 16-bit limbs.
+def _shift_up(a: jnp.ndarray, d: int) -> jnp.ndarray:
+    """Shift limbs towards higher indices by d, zero-filling the bottom."""
+    pad = jnp.zeros(a.shape[:-1] + (d,), a.dtype)
+    return jnp.concatenate([pad, a[..., :-d]], axis=-1)
 
-    Sequential over limbs (static unroll), vectorized over batch. The final
-    carry out of the top limb is dropped — callers must guarantee the true
-    value fits in `out_limbs` limbs.
+
+def _carry_sweep(cols: jnp.ndarray, out_limbs: int) -> jnp.ndarray:
+    """Propagate carries: columns (each < 2^24) -> canonical 16-bit limbs.
+
+    O(log L) Kogge-Stone carry propagation instead of a sequential ripple:
+    after one fold, residual carries are single bits, resolved with a
+    parallel-prefix generate/propagate scan. The final carry out of the top
+    limb is dropped — callers must guarantee the value fits in out_limbs.
     """
     k_in = cols.shape[-1]
-    carry = jnp.zeros(cols.shape[:-1], jnp.uint32)
-    outs = []
-    for k in range(out_limbs):
-        t = (cols[..., k] if k < k_in else jnp.zeros_like(carry)) + carry
-        outs.append(t & MASK)
-        carry = t >> SHIFT
-    return jnp.stack(outs, axis=-1)
-
-
-def _accum_shifted(acc, part, offset, width):
-    """acc[..., offset:offset+width] += part[..., :width] (static slices)."""
-    return acc.at[..., offset : offset + width].add(part[..., :width])
+    if k_in < out_limbs:
+        cols = jnp.concatenate(
+            [cols, jnp.zeros(cols.shape[:-1] + (out_limbs - k_in,), cols.dtype)],
+            axis=-1,
+        )
+    elif k_in > out_limbs:
+        cols = cols[..., :out_limbs]
+    # fold multi-bit carries once: columns < 2^24 so carry-ins < 2^8
+    y = (cols & MASK) + _shift_up(cols >> SHIFT, 1)
+    # y < 2^16 + 2^8: remaining carries are 0/1
+    g = (y >> SHIFT).astype(jnp.uint32)  # generate
+    p = ((y & MASK) == MASK)  # propagate
+    G, P = g != 0, p
+    d = 1
+    while d < out_limbs:
+        G = G | (P & _shift_up(G, d))
+        P = P & _shift_up(P, d)
+        d *= 2
+    cin = _shift_up(G, 1).astype(jnp.uint32)
+    return (y + cin) & MASK
 
 
 def _conv_columns(a: jnp.ndarray, b: jnp.ndarray, out_cols: int) -> jnp.ndarray:
@@ -136,22 +151,28 @@ def _conv_columns(a: jnp.ndarray, b: jnp.ndarray, out_cols: int) -> jnp.ndarray:
     Partial products are split hi/lo so every accumulated term is < 2^16;
     column sums stay < ~2^23 for L <= 48. Returns uint32 columns (NOT
     carry-propagated).
+
+    Implemented as one anti-diagonal gather + reduction (3 XLA ops) rather
+    than an unrolled shift-accumulate, to keep op counts small inside scan
+    bodies (this function is the innermost primitive of the whole stack).
     """
     La, Lb = a.shape[-1], b.shape[-1]
     prod = a[..., :, None] * b[..., None, :]  # (..., La, Lb) exact in uint32
     lo = prod & MASK
     hi = prod >> SHIFT
-    shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
-    acc = jnp.zeros(shape + (out_cols,), jnp.uint32)
-    for i in range(La):
-        if i >= out_cols:
-            break
-        w_lo = min(Lb, out_cols - i)
-        acc = _accum_shifted(acc, lo[..., i, :], i, w_lo)
-        w_hi = min(Lb, out_cols - i - 1)
-        if w_hi > 0:
-            acc = _accum_shifted(acc, hi[..., i, :], i + 1, w_hi)
-    return acc
+    # column k of lo collects lo[i, k-i]; of hi collects hi[i, k-1-i]
+    j_lo = np.arange(out_cols)[None, :] - np.arange(La)[:, None]  # (La, out)
+
+    def diag_sum(mat, jidx):
+        valid = jnp.asarray((jidx >= 0) & (jidx < Lb), dtype=jnp.uint32)
+        safe = np.clip(jidx, 0, Lb - 1)
+        idx = jnp.broadcast_to(
+            jnp.asarray(safe, jnp.int32), mat.shape[:-1] + (out_cols,)
+        )
+        take = jnp.take_along_axis(mat, idx, axis=-1)
+        return (take * valid).sum(axis=-2, dtype=jnp.uint32)
+
+    return diag_sum(lo, j_lo) + diag_sum(hi, j_lo - 1)
 
 
 # ---------------------------------------------------------------------------
@@ -160,16 +181,23 @@ def _conv_columns(a: jnp.ndarray, b: jnp.ndarray, out_cols: int) -> jnp.ndarray:
 
 
 def _sub_limbs(a: jnp.ndarray, b: jnp.ndarray):
-    """a - b with borrow propagation. Returns (diff limbs, final borrow)."""
+    """a - b with parallel-prefix borrow propagation.
+
+    Returns (diff limbs, final borrow: uint32 0/1)."""
     L = a.shape[-1]
-    borrow = jnp.zeros(jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1]), jnp.uint32)
-    outs = []
-    for k in range(L):
-        ak = a[..., k]
-        bk = b[..., k] + borrow
-        borrow = (ak < bk).astype(jnp.uint32)
-        outs.append((ak + (borrow << SHIFT)) - bk)
-    return jnp.stack(outs, axis=-1), borrow
+    a, b = jnp.broadcast_arrays(a, b)
+    g = a < b  # generate borrow
+    p = a == b  # propagate borrow
+    G, P = g, p
+    d = 1
+    while d < L:
+        G = G | (P & _shift_up(G, d))
+        P = P & _shift_up(P, d)
+        d *= 2
+    bin_ = _shift_up(G, 1).astype(jnp.uint32)  # borrow into limb k
+    diff = (a - b - bin_) & MASK  # uint32 wraparound + mask
+    final_borrow = G[..., L - 1].astype(jnp.uint32)
+    return diff, final_borrow
 
 
 def _cond_sub_mod(x: jnp.ndarray, spec: FieldSpec) -> jnp.ndarray:
