@@ -16,6 +16,8 @@ import random
 import jax
 import pytest
 
+# The axon TPU plugin ignores the JAX_PLATFORMS env var; force CPU here.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
