@@ -362,6 +362,50 @@ def pow_fixed(a, exponent: int, spec: FieldSpec):
     return acc
 
 
+@partial(jax.jit, static_argnames=("spec", "axis"))
+def sum_mod(a, spec: FieldSpec, axis: int = 0):
+    """Modular sum of canonical elements along `axis` (not the limb axis).
+
+    Tree reduction with field adds: log2(n) rounds, each a full-width add.
+    """
+    a = jnp.moveaxis(a, axis, 0)
+    n = a.shape[0]
+    if n == 0:
+        return spec.zeros(a.shape[1:-1])
+    while n > 1:
+        half = n // 2
+        merged = add(a[:half], a[half : 2 * half], spec)
+        if n % 2:
+            merged = jnp.concatenate([merged, a[2 * half :]], 0)
+        a = merged
+        n = a.shape[0]
+    return a[0]
+
+
+@partial(jax.jit, static_argnames=("spec", "count"))
+def powers(z, spec: FieldSpec, count: int):
+    """[z^0, z^1, ..., z^(count-1)] (Montgomery), via log-depth scan.
+
+    z: unbatched element (L,). Returns (count, L).
+    """
+    if count == 0:
+        return spec.zeros((0,))
+    one = spec.from_int(1)
+    if count == 1:
+        return one[None]
+    zb = jnp.broadcast_to(z, (count - 1,) + z.shape)
+    ladder = jax.lax.associative_scan(lambda x, y: mul(x, y, spec), zb, axis=0)
+    return jnp.concatenate([one[None], ladder], 0)
+
+
+@partial(jax.jit, static_argnames=("spec", "exp"))
+def pow_int(z, spec: FieldSpec, exp: int):
+    """z^exp for a static python int exp (may be negative -> via inverse)."""
+    if exp < 0:
+        return pow_fixed(inv(z, spec), -exp, spec)
+    return pow_fixed(z, exp, spec)
+
+
 # Convenience partials for the two concrete fields ---------------------------
 
 fr_add = partial(add, spec=FR)

@@ -1,0 +1,189 @@
+"""Dense Laurent polynomials over Fr for TPU.
+
+TPU-native equivalent of the reference's `poly` dependency
+(Data.Poly.Sparse.Laurent — SURVEY.md §2.3): the reference keeps SPARSE
+term lists; here a polynomial is a dense, contiguous coefficient array plus
+a static exponent offset, the layout that vectorizes on TPU. The four Sonic
+polynomials all have known, contiguous exponent spans (SURVEY.md §5
+long-context entry), so dense-with-offset loses nothing.
+
+    poly  ==  sum_i  coeffs[i] * X^(offset + i)
+
+coeffs: (D, FR_LIMBS) uint32, Montgomery-form Fr. offset: static int.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields import limb
+from ..fields.limb import FR
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class Laurent:
+    offset: int
+    coeffs: jnp.ndarray  # (D, L)
+
+    def tree_flatten(self):
+        return (self.coeffs,), self.offset
+
+    @classmethod
+    def tree_unflatten(cls, offset, children):
+        return cls(offset, children[0])
+
+    @property
+    def length(self) -> int:
+        return self.coeffs.shape[0]
+
+    @property
+    def max_exp(self) -> int:
+        return self.offset + self.length - 1
+
+    # -- host-side helpers ---------------------------------------------------
+
+    @classmethod
+    def from_terms(cls, terms: dict[int, int]) -> "Laurent":
+        """{exponent: int coefficient} -> dense Laurent (host-side)."""
+        if not terms:
+            return cls(0, FR.zeros((0,)))
+        lo, hi = min(terms), max(terms)
+        vals = [terms.get(e, 0) for e in range(lo, hi + 1)]
+        return cls(lo, FR.from_int(vals))
+
+    def to_terms(self) -> dict[int, int]:
+        """Dense -> sparse {exponent: int}, dropping zeros (host-side)."""
+        vals = np.atleast_1d(FR.to_int(self.coeffs))
+        return {
+            self.offset + i: int(v) for i, v in enumerate(vals) if int(v) != 0
+        }
+
+
+def zero() -> Laurent:
+    return Laurent(0, FR.zeros((1,)))
+
+
+def align(p: Laurent, q: Laurent) -> tuple[jnp.ndarray, jnp.ndarray, int]:
+    """Pad both coefficient arrays onto the union exponent range."""
+    lo = min(p.offset, q.offset)
+    hi = max(p.max_exp, q.max_exp)
+    width = hi - lo + 1
+
+    def pad(r: Laurent):
+        pre = r.offset - lo
+        post = width - pre - r.length
+        return jnp.pad(r.coeffs, ((pre, post), (0, 0)))
+
+    return pad(p), pad(q), lo
+
+
+def add(p: Laurent, q: Laurent) -> Laurent:
+    a, b, lo = align(p, q)
+    return Laurent(lo, limb.add(a, b, FR))
+
+
+def sub(p: Laurent, q: Laurent) -> Laurent:
+    a, b, lo = align(p, q)
+    return Laurent(lo, limb.sub(a, b, FR))
+
+
+def neg(p: Laurent) -> Laurent:
+    return Laurent(p.offset, limb.neg(p.coeffs, FR))
+
+
+def scale(p: Laurent, c) -> Laurent:
+    """Multiply every coefficient by the Fr element c (L,)."""
+    return Laurent(p.offset, limb.mul(p.coeffs, c, FR))
+
+
+def shift(p: Laurent, k: int) -> Laurent:
+    """Multiply by X^k (exponent shift; free)."""
+    return Laurent(p.offset + k, p.coeffs)
+
+
+@partial(jax.jit, static_argnames=())
+def _conv_coeffs(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Schoolbook polynomial product of coefficient arrays (Da,L)x(Db,L) ->
+    (Da+Db-1, L): all pairwise Fr muls, then modular anti-diagonal sums.
+
+    O(Da*Db) field muls, fully parallel. NTT (poly/ntt.py) replaces this
+    for large degrees.
+    """
+    Da, Db = a.shape[0], b.shape[0]
+    out_len = Da + Db - 1
+    prod = limb.mul(a[:, None, :], b[None, :, :], FR)  # (Da, Db, L)
+    # anti-diagonal gather: output column k collects prod[i, k-i]
+    j = np.arange(out_len)[None, :] - np.arange(Da)[:, None]  # (Da, out)
+    valid = jnp.asarray((j >= 0) & (j < Db))
+    idx = jnp.asarray(np.clip(j, 0, Db - 1), jnp.int32)
+    gathered = jnp.take_along_axis(prod, idx[..., None], axis=1)  # (Da, out, L)
+    gathered = jnp.where(valid[..., None], gathered, 0)
+    return limb.sum_mod(gathered, FR, axis=0)
+
+
+def mul(p: Laurent, q: Laurent) -> Laurent:
+    return Laurent(p.offset + q.offset, _conv_coeffs(p.coeffs, q.coeffs))
+
+
+@partial(jax.jit, static_argnames="offset")
+def _eval_jit(coeffs, z, offset: int):
+    D = coeffs.shape[0]
+    pows = limb.powers(z, FR, D)  # z^0 .. z^(D-1)
+    terms = limb.mul(coeffs, pows, FR)
+    s = limb.sum_mod(terms, FR, axis=0)
+    zoff = limb.pow_int(z, FR, offset)
+    return limb.mul(s, zoff, FR)
+
+
+def evaluate(p: Laurent, z) -> jnp.ndarray:
+    """f(z) for Fr element z (L,) -> (L,). Includes negative exponents
+    (matching Data.Poly.Sparse.Laurent `eval`)."""
+    return _eval_jit(p.coeffs, z, p.offset)
+
+
+@jax.jit
+def _div_linear_jit(chat, z):
+    """Exact division of the ordinary polynomial chat (degree D-1, with
+    chat(z) == 0) by (X - z): top-down synthetic division as a scan."""
+    D = chat.shape[0]
+
+    # w_{D-2} = c_{D-1};  w_{i-1} = c_i + z * w_i   for i = D-2 .. 1
+    def step(w, c):
+        w_next = limb.add(c, limb.mul(z, w, FR), FR)
+        return w_next, w
+
+    init = chat[D - 1]
+    cs = chat[1 : D - 1][::-1]  # c_{D-2} .. c_1
+    last, ws_rev = jax.lax.scan(step, init, cs)
+    # ws_rev holds [w_{D-2}, ..., w_1] in scan order; last == w_0
+    ws = jnp.concatenate([last[None], ws_rev[::-1]], 0)
+    return ws
+
+
+def div_by_linear(p: Laurent, z, fz=None) -> tuple[jnp.ndarray, Laurent]:
+    """w(X) = (f(X) - f(z)) / (X - z)  — exact Laurent division, mirroring
+    `openPoly`'s use of Data.Euclidean.divide (CommitmentScheme.hs:44).
+
+    Returns (f(z), w). w has offset = p.offset, length = p.length - 1.
+    """
+    if fz is None:
+        fz = evaluate(p, z)
+    # fhat(X) = X^(-offset) (f(X) - f(z)) is an ordinary poly with fhat(z)=0
+    # (the X^(-offset) shift just reindexes the dense array).
+    const_pos = -p.offset
+    chat = p.coeffs
+    if 0 <= const_pos < p.length:
+        chat = chat.at[const_pos].set(limb.sub(chat[const_pos], fz, FR))
+    elif not limb_is_zero_host(fz):
+        raise ValueError("f(z) != 0 but X^0 not inside the dense span")
+    ws = _div_linear_jit(chat, z)
+    return fz, Laurent(p.offset, ws)
+
+
+def limb_is_zero_host(x) -> bool:
+    return bool(np.all(np.asarray(x) == 0))

@@ -18,6 +18,7 @@ import pytest
 
 # The axon TPU plugin ignores the JAX_PLATFORMS env var; force CPU here.
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax-sonic")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
