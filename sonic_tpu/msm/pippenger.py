@@ -147,7 +147,7 @@ def msm(
     group: GroupOps,
     points: Affine,
     scalars_std: jnp.ndarray,
-    c: int = DEFAULT_C,
+    c: int | None = None,
     lanes: int = DEFAULT_LANES,
 ) -> Jacobian:
     """Sum_i scalars[i] * points[i].
@@ -158,8 +158,19 @@ def msm(
     Python-orchestrated pipeline of jitted phases (see module docstring).
     """
     n = scalars_std.shape[0]
-    K = min(lanes, max(1, n))
-    pad = (-n) % K
+    if c is None:
+        # small MSMs: fewer buckets (short weighted-sum scan) wins; the
+        # extra windows cost little at these sizes.
+        c = 4 if n <= 1024 else DEFAULT_C
+    # Pad N to a power of two: zero scalars contribute nothing (digit-0
+    # trash bucket) and infinity points are absorbed by add_mixed, while
+    # the compiled phase programs get reused across the protocol's many
+    # different commit/open sizes.
+    n_pad = 1
+    while n_pad < n:
+        n_pad *= 2
+    K = min(lanes, max(1, n_pad))
+    pad = n_pad - n
     if pad:
         zero_limbs = jnp.zeros((pad,) + points.x.shape[1:], jnp.uint32)
         points = Affine(
@@ -190,9 +201,9 @@ def msm(
     return _window_combine(group, totals, c)
 
 
-def msm_g1(points, scalars_std, c=DEFAULT_C, lanes=DEFAULT_LANES):
+def msm_g1(points, scalars_std, c=None, lanes=DEFAULT_LANES):
     return msm(g1, points, scalars_std, c, lanes)
 
 
-def msm_g2(points, scalars_std, c=DEFAULT_C, lanes=DEFAULT_LANES):
+def msm_g2(points, scalars_std, c=None, lanes=DEFAULT_LANES):
     return msm(g2, points, scalars_std, c, lanes)

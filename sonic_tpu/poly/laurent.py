@@ -140,10 +140,22 @@ def _eval_jit(coeffs, z, offset: int):
     return limb.mul(s, zoff, FR)
 
 
+def _pad_pow2(coeffs: jnp.ndarray) -> jnp.ndarray:
+    """Zero-pad the coefficient axis to a power of two, so jitted helpers
+    are shared across the protocol's many polynomial lengths."""
+    n = coeffs.shape[0]
+    n2 = 1
+    while n2 < n:
+        n2 *= 2
+    if n2 == n:
+        return coeffs
+    return jnp.pad(coeffs, ((0, n2 - n), (0, 0)))
+
+
 def evaluate(p: Laurent, z) -> jnp.ndarray:
     """f(z) for Fr element z (L,) -> (L,). Includes negative exponents
     (matching Data.Poly.Sparse.Laurent `eval`)."""
-    return _eval_jit(p.coeffs, z, p.offset)
+    return _eval_jit(_pad_pow2(p.coeffs), z, p.offset)
 
 
 @jax.jit
@@ -181,8 +193,10 @@ def div_by_linear(p: Laurent, z, fz=None) -> tuple[jnp.ndarray, Laurent]:
         chat = chat.at[const_pos].set(limb.sub(chat[const_pos], fz, FR))
     elif not limb_is_zero_host(fz):
         raise ValueError("f(z) != 0 but X^0 not inside the dense span")
-    ws = _div_linear_jit(chat, z)
-    return fz, Laurent(p.offset, ws)
+    # pad to pow2 for jit-program reuse; the extra top coefficients are zero
+    # so the quotient's top coefficients are zero too — slice them off.
+    ws = _div_linear_jit(_pad_pow2(chat), z)
+    return fz, Laurent(p.offset, ws[: p.length - 1])
 
 
 def limb_is_zero_host(x) -> bool:

@@ -1,0 +1,193 @@
+"""Structured reference string — device-side generation and layout.
+
+Reference: src/Sonic/SRS.hs. The reference stores 8 separate power-table
+vectors; the TPU layout merges each (negative, positive) pair into ONE
+contiguous array indexed by exponent+d, so commit/open table lookups become
+static slices feeding the MSM (no gather):
+
+    g_x[e + d]  = g^(x^e)            e in [-d, d]
+    g_ax[e + d] = g^(alpha x^e)      e in [-d, d],  e = 0 slot is the point
+                  at infinity — g^alpha is deliberately omitted
+                  (SRS.hs:38-39; trapdoor-leak fix in ChangeLog 0.2)
+    h_x, h_ax   = same over G2 (h_ax HAS the e=0 element, SRS.hs:40-41)
+
+Generation: powers of x by log-depth ladder (limb.powers), then one batched
+255-bit scalar-mul ladder over all 2d+1 exponents — replacing the
+reference's d sequential `pow` + `mul` loops (SRS.hs:33-41, SURVEY.md §3.3).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .curve.group import g1, g2, Affine, Jacobian
+from .fields import limb, ext
+from .fields.limb import FR, FQ
+from . import golden
+from . import golden_protocol as gp
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class SRS:
+    """Device SRS. g tables are G1 Affine batches (2d+1 rows); h tables are
+    G2 Affine batches (2d+1 rows). Row index = exponent + d."""
+
+    d: int
+    g_x: Affine
+    g_ax: Affine
+    h_x: Affine
+    h_ax: Affine
+
+    def tree_flatten(self):
+        return (self.g_x, self.g_ax, self.h_x, self.h_ax), self.d
+
+    @classmethod
+    def tree_unflatten(cls, d, children):
+        return cls(d, *children)
+
+    # -- generation ----------------------------------------------------------
+
+    @classmethod
+    def new(cls, d: int, x: int, alpha: int) -> "SRS":
+        """Trusted setup from trapdoor (x, alpha) — device compute."""
+        x_m = FR.from_int(x)
+        alpha_m = FR.from_int(alpha)
+        xinv_m = limb.inv(x_m, FR)
+
+        pos = limb.powers(x_m, FR, d + 1)  # x^0..x^d
+        neg = limb.powers(xinv_m, FR, d + 1)[1:]  # x^-1..x^-d
+        exps = jnp.concatenate([neg[::-1], pos], 0)  # x^-d .. x^d  (2d+1, L)
+        aexps = limb.mul(exps, alpha_m, FR)
+        # g^alpha (e=0 slot) is omitted from the G1 alpha table -> scalar 0
+        # -> point at infinity; h^alpha IS present (SRS.hs:38-41).
+        g_aexps = aexps.at[d].set(jnp.zeros_like(aexps[d]))
+
+        exps_std = limb.from_mont(exps, FR)
+        g_aexps_std = limb.from_mont(g_aexps, FR)
+        h_aexps_std = limb.from_mont(aexps, FR)
+
+        gen1 = g1.from_affine(_bcast_affine(g1.generator(), 2 * d + 1))
+        gen2 = g2.from_affine(_bcast_affine(g2.generator(), 2 * d + 1))
+
+        g_x = g1.to_affine(g1.scalar_mul(gen1, exps_std))
+        g_ax = g1.to_affine(g1.scalar_mul(gen1, g_aexps_std))
+        h_x = g2.to_affine(g2.scalar_mul(gen2, exps_std))
+        h_ax = g2.to_affine(g2.scalar_mul(gen2, h_aexps_std))
+        return cls(d, g_x, g_ax, h_x, h_ax)
+
+    # -- host interop --------------------------------------------------------
+
+    @classmethod
+    def from_host(cls, srs: gp.SRS) -> "SRS":
+        """Upload a host (golden) SRS — used by tests to avoid the device
+        generation cost for tiny d."""
+        d = srs.d
+
+        def g1_rows(neg, pos, hole_at_zero):
+            pts = list(reversed(neg)) + ([None] if hole_at_zero else []) + pos
+            xs = [p[0] if p else 0 for p in pts]
+            ys = [p[1] if p else 0 for p in pts]
+            infs = [p is None for p in pts]
+            return Affine(FQ.from_int(xs), FQ.from_int(ys), jnp.asarray(infs))
+
+        def g2_rows(neg, pos, hole_at_zero):
+            pts = list(reversed(neg)) + ([None] if hole_at_zero else []) + pos
+            xs = [p[0] if p else ((0, 0)) for p in pts]
+            ys = [p[1] if p else ((0, 0)) for p in pts]
+            infs = [p is None for p in pts]
+            X = ext.make(
+                FQ.from_int([a[0] for a in xs]), FQ.from_int([a[1] for a in xs])
+            )
+            Y = ext.make(
+                FQ.from_int([a[0] for a in ys]), FQ.from_int([a[1] for a in ys])
+            )
+            return Affine(X, Y, jnp.asarray(infs))
+
+        return cls(
+            d=d,
+            g_x=g1_rows(srs.g_neg_x, srs.g_pos_x, False),
+            g_ax=g1_rows(srs.g_neg_ax, srs.g_pos_ax, True),
+            h_x=g2_rows(srs.h_neg_x, srs.h_pos_x, False),
+            h_ax=g2_rows(srs.h_neg_ax, srs.h_pos_ax, False),
+        )
+
+    def to_host(self) -> gp.SRS:
+        """Download to host (golden) representation for pairing checks and
+        serialization round-trips."""
+        d = self.d
+
+        def g1_list(tab, indices):
+            xs = np.atleast_1d(FQ.to_int(tab.x))
+            ys = np.atleast_1d(FQ.to_int(tab.y))
+            infs = np.asarray(tab.inf)
+            return [
+                None if infs[i] else (int(xs[i]), int(ys[i])) for i in indices
+            ]
+
+        def g2_list(tab, indices):
+            x0 = np.atleast_1d(FQ.to_int(ext.c0(tab.x)))
+            x1 = np.atleast_1d(FQ.to_int(ext.c1(tab.x)))
+            y0 = np.atleast_1d(FQ.to_int(ext.c0(tab.y)))
+            y1 = np.atleast_1d(FQ.to_int(ext.c1(tab.y)))
+            infs = np.asarray(tab.inf)
+            return [
+                None
+                if infs[i]
+                else (
+                    (int(x0[i]), int(x1[i])),
+                    (int(y0[i]), int(y1[i])),
+                )
+                for i in indices
+            ]
+
+        neg = list(range(d - 1, -1, -1))  # exponents -1 .. -d
+        pos = list(range(d, 2 * d + 1))  # exponents 0 .. d
+        pos1 = list(range(d + 1, 2 * d + 1))  # exponents 1 .. d
+        return gp.SRS(
+            d=d,
+            g_neg_x=g1_list(self.g_x, neg),
+            g_pos_x=g1_list(self.g_x, pos),
+            h_neg_x=g2_list(self.h_x, neg),
+            h_pos_x=g2_list(self.h_x, pos),
+            g_neg_ax=g1_list(self.g_ax, neg),
+            g_pos_ax=g1_list(self.g_ax, pos1),
+            h_neg_ax=g2_list(self.h_ax, neg),
+            h_pos_ax=g2_list(self.h_ax, pos),
+        )
+
+    # -- verifier elements ---------------------------------------------------
+
+    def h_x_at(self, e: int):
+        """h^(x^e) as host affine point (for pcV's h^{x^{-d+max}})."""
+        return _g2_row_to_host(self.h_x, e + self.d)
+
+    def h_ax_at(self, e: int):
+        return _g2_row_to_host(self.h_ax, e + self.d)
+
+
+def _bcast_affine(a: Affine, n: int) -> Affine:
+    return Affine(
+        jnp.broadcast_to(a.x, (n,) + a.x.shape),
+        jnp.broadcast_to(a.y, (n,) + a.y.shape),
+        jnp.broadcast_to(jnp.asarray(a.inf), (n,)),
+    )
+
+
+def _g2_row_to_host(tab: Affine, idx: int):
+    if bool(np.asarray(tab.inf[idx])):
+        return None
+    x0 = int(FQ.to_int(ext.c0(tab.x[idx])))
+    x1 = int(FQ.to_int(ext.c1(tab.x[idx])))
+    y0 = int(FQ.to_int(ext.c0(tab.y[idx])))
+    y1 = int(FQ.to_int(ext.c1(tab.y[idx])))
+    return ((x0, x1), (y0, y1))
+
+
+def g1_row_to_host(tab: Affine, idx: int):
+    if bool(np.asarray(tab.inf[idx])):
+        return None
+    return (int(FQ.to_int(tab.x[idx])), int(FQ.to_int(tab.y[idx])))
