@@ -126,7 +126,15 @@ def _conv_coeffs(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return limb.sum_mod(gathered, FR, axis=0)
 
 
+# Above this many pairwise products, NTT multiplication wins.
+_NTT_THRESHOLD = 64 * 64
+
+
 def mul(p: Laurent, q: Laurent) -> Laurent:
+    if p.length * q.length >= _NTT_THRESHOLD:
+        from .ntt import poly_mul_ntt
+
+        return Laurent(p.offset + q.offset, poly_mul_ntt(p.coeffs, q.coeffs))
     return Laurent(p.offset + q.offset, _conv_coeffs(p.coeffs, q.coeffs))
 
 

@@ -1,0 +1,100 @@
+"""Number-theoretic transform over Fr — large polynomial multiplication.
+
+Replaces the reference's sparse schoolbook products (Data.Poly.Sparse `*`,
+the O(n^2 Q) hot loop inside tPoly — SURVEY.md §3.5 item 2) with radix-2
+NTT: Fr - 1 = 2^32 * odd (constants.R_TWO_ADICITY), so power-of-two sizes
+up to 2^32 are supported.
+
+Layout: coefficient arrays (N, L) Montgomery Fr; each butterfly stage is
+one batched Fr multiply of N/2 elements + add/sub, reshaped so XLA
+vectorizes across pairs. Twiddle ladders are computed once per size and
+cached. The multi-chip variant (sonic_tpu/parallel/ntt_sharded.py) splits
+the leading axis over the mesh and exchanges butterflies with all-to-all.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields import constants as C
+from ..fields import limb
+from ..fields.limb import FR
+
+_TWIDDLE_CACHE: dict = {}
+
+
+def _bit_reverse_perm(n: int) -> np.ndarray:
+    bits = n.bit_length() - 1
+    idx = np.arange(n)
+    rev = np.zeros(n, np.int64)
+    for b in range(bits):
+        rev |= ((idx >> b) & 1) << (bits - 1 - b)
+    return rev
+
+
+def root_of_unity(logn: int) -> int:
+    """Primitive 2^logn-th root of unity in Fr (host int)."""
+    assert logn <= C.R_TWO_ADICITY
+    return pow(C.ROOT_OF_UNITY_2_32, 1 << (C.R_TWO_ADICITY - logn), C.R_MOD)
+
+
+def _twiddles(n: int, inverse: bool):
+    """(N/2, L) Montgomery ladder of w^0..w^(N/2-1); host-cached per size."""
+    key = (n, inverse)
+    if key not in _TWIDDLE_CACHE:
+        logn = n.bit_length() - 1
+        w = root_of_unity(logn)
+        if inverse:
+            w = pow(w, -1, C.R_MOD)
+        w_m = FR.from_int(w)
+        _TWIDDLE_CACHE[key] = limb.powers(w_m, FR, max(n // 2, 1))
+    return _TWIDDLE_CACHE[key]
+
+
+@partial(jax.jit, static_argnames=("n", "inverse"))
+def _ntt_jit(a: jnp.ndarray, tw: jnp.ndarray, n: int, inverse: bool):
+    logn = n.bit_length() - 1
+    perm = jnp.asarray(_bit_reverse_perm(n))
+    a = a[perm]
+    m = 1
+    while m < n:
+        # view as (n/(2m), 2, m, L): butterflies between the two halves
+        v = a.reshape(n // (2 * m), 2, m, C.FR_LIMBS)
+        even = v[:, 0]
+        odd = v[:, 1]
+        stride = n // (2 * m)
+        twid = tw[::stride][:m]  # w_{2m}^j  (m, L)
+        t = limb.mul(odd, twid[None], FR)
+        upper = limb.add(even, t, FR)
+        lower = limb.sub(even, t, FR)
+        a = jnp.stack([upper, lower], axis=1).reshape(n, C.FR_LIMBS)
+        m *= 2
+    return a
+
+
+def ntt(coeffs: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
+    """In-order NTT of (N, L) Montgomery coefficients, N a power of two."""
+    n = coeffs.shape[0]
+    assert n & (n - 1) == 0, "NTT size must be a power of two"
+    if n == 1:
+        return coeffs
+    out = _ntt_jit(coeffs, _twiddles(n, inverse), n, inverse)
+    if inverse:
+        n_inv = FR.from_int(pow(n, -1, C.R_MOD))
+        out = limb.mul(out, n_inv, FR)
+    return out
+
+
+def poly_mul_ntt(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Full product of coefficient arrays (Da, L) x (Db, L) -> (Da+Db-1, L)."""
+    out_len = a.shape[0] + b.shape[0] - 1
+    n = 1
+    while n < out_len:
+        n *= 2
+    fa = ntt(jnp.pad(a, ((0, n - a.shape[0]), (0, 0))))
+    fb = ntt(jnp.pad(b, ((0, n - b.shape[0]), (0, 0))))
+    fc = limb.mul(fa, fb, FR)
+    return ntt(fc, inverse=True)[:out_len]
