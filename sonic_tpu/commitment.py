@@ -89,11 +89,8 @@ def pcv(srs: SRS, maxm: int, commitment, z: int, v: int, w) -> bool:
     gv_wz = gc.g1_add(
         gc.g1_mul(gc.G1_GEN, v), gc.g1_mul(w, (-z) % gp.P)
     )
-    return (
-        pr.pairing_product(
-            [(w, h_ax), (gv_wz, h_a), (gc.g1_neg(commitment), hxi)]
-        )
-        == pr.FQ12_ONE
+    return pr.pairing_product_is_one(
+        [(w, h_ax), (gv_wz, h_a), (gc.g1_neg(commitment), hxi)]
     )
 
 

@@ -285,15 +285,12 @@ def pcv(srs: SRS, maxm: int, commitment, z: int, v_w) -> bool:
     gv_wz = gc.g1_add(gc.g1_mul(gc.G1_GEN, v), gc.g1_mul(w, -z % P))
     # product form with one shared final exponentiation:
     # e(W, h^{ax}) e(g^v W^{-z}, h^a) e(-F, hxi) == 1
-    return (
-        pr.pairing_product(
-            [
-                (w, srs.h_pos_ax[1]),
-                (gv_wz, srs.h_pos_ax[0]),
-                (gc.g1_neg(commitment), hxi),
-            ]
-        )
-        == pr.FQ12_ONE
+    return pr.pairing_product_is_one(
+        [
+            (w, srs.h_pos_ax[1]),
+            (gv_wz, srs.h_pos_ax[0]),
+            (gc.g1_neg(commitment), hxi),
+        ]
     )
 
 

@@ -296,3 +296,14 @@ def pairing_product(pairs) -> tuple:
     for p, q in pairs:
         f = fq12_mul(f, miller_loop(p, q))
     return final_exponentiation(f)
+
+
+def pairing_product_is_one(pairs) -> bool:
+    """prod e(P_i, Q_i) == 1 — the shape of every pcV check. Dispatches to
+    the native C++ library when built (sonic_tpu/native.py), else Python."""
+    from ..native import pairing_product_is_one_native
+
+    native = pairing_product_is_one_native(pairs)
+    if native is not None:
+        return native
+    return pairing_product(pairs) == FQ12_ONE

@@ -1,0 +1,91 @@
+"""Device mesh + sharded MSM — the multi-chip scaling layer.
+
+The reference is single-threaded (SURVEY.md §2.3 parallelism inventory:
+none); scaling here is additive and maps onto the math: MSM lanes and SRS
+degree ranges shard across a `jax.sharding.Mesh`, and XLA/GSPMD inserts the
+collectives (bucket-grid tree reduction -> cross-device point adds).
+
+Design: the Pippenger lane axis (K) is the data-parallel axis. Each device
+scans its own lane slice (embarrassingly parallel, zero communication);
+the lane-fold tree then reduces across devices — log2(ndev) rounds of
+batched Jacobian adds riding ICI, followed by local folds.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..curve.group import GroupOps, Jacobian, Affine, g1
+from ..msm import pippenger
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "shard") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    import numpy as np
+
+    return Mesh(np.array(devs), (axis,))
+
+
+def shard_leading(arr, mesh: Mesh, axis: str = "shard"):
+    """Place an array with its leading axis sharded over the mesh."""
+    spec = P(axis, *([None] * (arr.ndim - 1)))
+    return jax.device_put(arr, NamedSharding(mesh, spec))
+
+
+def msm_sharded(
+    group: GroupOps,
+    points: Affine,
+    scalars_std: jnp.ndarray,
+    mesh: Mesh,
+    c: int = 8,
+    lanes_per_device: int = 16,
+    axis: str = "shard",
+) -> Jacobian:
+    """MSM with points/scalars sharded over the mesh's lane axis.
+
+    Reuses the exact single-chip phase kernels (msm/pippenger.py): inputs
+    are laid out lane-major with the lane axis sharded, so the bucket scan
+    runs communication-free per device and the lane-fold tree becomes the
+    cross-device reduction.
+    """
+    ndev = mesh.devices.size
+    K = lanes_per_device * ndev
+    n = scalars_std.shape[0]
+    n_pad = K
+    while n_pad < n:
+        n_pad *= 2
+    pad = n_pad - n
+    if pad:
+        zero_limbs = jnp.zeros((pad,) + points.x.shape[1:], jnp.uint32)
+        points = Affine(
+            jnp.concatenate([points.x, zero_limbs], 0),
+            jnp.concatenate([points.y, zero_limbs], 0),
+            jnp.concatenate([points.inf, jnp.ones((pad,), bool)], 0),
+        )
+        scalars_std = jnp.concatenate(
+            [scalars_std, jnp.zeros((pad, scalars_std.shape[1]), jnp.uint32)],
+            0,
+        )
+    steps = n_pad // K
+    digs = pippenger._digits(scalars_std, c)
+    W = digs.shape[-1]
+    tail = points.x.shape[1:]
+
+    pts = Affine(
+        shard_leading(points.x.reshape((K, steps) + tail), mesh, axis),
+        shard_leading(points.y.reshape((K, steps) + tail), mesh, axis),
+        shard_leading(points.inf.reshape(K, steps), mesh, axis),
+    )
+    pdig = shard_leading(digs.reshape(K, steps, W), mesh, axis)
+
+    buckets = pippenger._accumulate_buckets(group, pts, pdig, c)
+    while buckets.x.shape[0] > 1:
+        buckets = pippenger._lane_fold(group, buckets)
+    buckets = jax.tree.map(lambda a: a[0], buckets)
+    totals = pippenger._bucket_weighted_sum(group, buckets)
+    return pippenger._window_combine(group, totals, c)
