@@ -36,10 +36,17 @@ def _slice_table(tab: Affine, start: int, length: int) -> Affine:
     )
 
 
-def commit_poly(srs: SRS, maxm: int, f: Laurent, check_hole: bool = False) -> Jacobian:
+def commit_poly(
+    srs: SRS,
+    maxm: int,
+    f: Laurent,
+    check_hole: bool = False,
+    lanes: int | None = None,
+) -> Jacobian:
     """Commit(info, max, f(X)) -> F  (CommitmentScheme.hs:20-33).
 
     MSM of f's coefficients against g^{alpha x^{d-max+e}} table rows.
+    `lanes` overrides the Pippenger lane count (compile-size knob).
     """
     diff = srs.d - maxm
     lo = f.offset + diff  # lowest shifted exponent
@@ -57,10 +64,11 @@ def commit_poly(srs: SRS, maxm: int, f: Laurent, check_hole: bool = False) -> Ja
             )
     pts = _slice_table(srs.g_ax, lo + srs.d, f.length)
     scalars = limb.from_mont(f.coeffs, FR)
-    return msm(g1, pts, scalars)
+    kw = {} if lanes is None else {"lanes": lanes}
+    return msm(g1, pts, scalars, **kw)
 
 
-def open_poly(srs: SRS, z, f: Laurent):
+def open_poly(srs: SRS, z, f: Laurent, lanes: int | None = None):
     """Open(info, F, z, f(X)) -> (f(z), W)  (CommitmentScheme.hs:36-48).
 
     z: Fr element (Montgomery limbs). Returns (f(z) Montgomery limbs,
@@ -75,7 +83,8 @@ def open_poly(srs: SRS, z, f: Laurent):
         )
     pts = _slice_table(srs.g_x, lo + srs.d, w.length)
     scalars = limb.from_mont(w.coeffs, FR)
-    return fz, msm(g1, pts, scalars)
+    kw = {} if lanes is None else {"lanes": lanes}
+    return fz, msm(g1, pts, scalars, **kw)
 
 
 def pcv(srs: SRS, maxm: int, commitment, z: int, v: int, w) -> bool:

@@ -112,12 +112,84 @@ class _Fq2Ops:
     batch_inv = staticmethod(ext.batch_inv)
 
 
+# Host-level calls pad their batch axis to a power of two (min 8) so the
+# expensive jit compilations (10s each on a small host) are shared across
+# every call site / test and hit the persistent compilation cache. Inside
+# an enclosing jit trace the wrappers pass straight through (shapes there
+# are already static and padding would only bloat the traced graph).
+_MIN_BATCH = 8
+
+
+def _is_traced(*arrays) -> bool:
+    return any(isinstance(a, jax.core.Tracer) for a in arrays)
+
+
+def _pow2_batch(n: int) -> int:
+    return max(_MIN_BATCH, 1 << max(0, n - 1).bit_length())
+
+
+def _canonize(arrays_tails):
+    """arrays_tails: [(array, tail_ndim)] sharing a broadcastable batch
+    prefix. Returns (flat padded arrays, batch shape, true length)."""
+    batch = ()
+    for a, t in arrays_tails:
+        b = a.shape[: a.ndim - t]
+        batch = np.broadcast_shapes(batch, b)
+    n = int(np.prod(batch)) if batch else 1
+    n_pad = _pow2_batch(n)
+    outs = []
+    for a, t in arrays_tails:
+        tail = a.shape[a.ndim - t :] if t else ()
+        a = jnp.broadcast_to(a, batch + tail)
+        a = a.reshape((n,) + tail)
+        if n_pad != n:
+            a = jnp.pad(a, [(0, n_pad - n)] + [(0, 0)] * t)
+        outs.append(a)
+    return outs, batch, n
+
+
+def _restore(a, batch, n: int, tail_ndim: int):
+    tail = a.shape[a.ndim - tail_ndim :] if tail_ndim else ()
+    return a[:n].reshape(batch + tail)
+
+
 class GroupOps:
-    """Curve group operations bound to one coordinate field."""
+    """Curve group operations bound to one coordinate field.
+
+    The group-law methods are total and branchless (edge cases via selects),
+    so padded garbage rows are harmless and sliced away on return.
+    """
 
     def __init__(self, F, name: str):
         self.F = F
         self.name = name
+
+    # -- batch canonicalization ----------------------------------------------
+
+    def _cn(self) -> int:
+        return self.F.coord_ndim
+
+    def _canon_jac(self, ps: list[Jacobian], extras=()):
+        """Flatten+pad Jacobian batches (and extra (array, tail) pairs)."""
+        cn = self._cn()
+        pairs = []
+        for p in ps:
+            pairs += [(p.x, cn), (p.y, cn), (p.z, cn)]
+        pairs += list(extras)
+        outs, batch, n = _canonize(pairs)
+        jacs = [
+            Jacobian(outs[3 * i], outs[3 * i + 1], outs[3 * i + 2])
+            for i in range(len(ps))
+        ]
+        return jacs, outs[3 * len(ps) :], batch, n
+
+    def _restore_jac(self, p: Jacobian, batch, n) -> Jacobian:
+        cn = self._cn()
+        return Jacobian(
+            _restore(p.x, batch, n, cn),
+            _restore(p.y, batch, n, cn),
+            _restore(p.z, batch, n, cn),
+        )
 
     # -- constructors -------------------------------------------------------
 
@@ -138,12 +210,22 @@ class GroupOps:
         z = F.select(p.inf, F.zeros(p.x.shape[: -F.coord_ndim]), one)
         return Jacobian(p.x, p.y, z)
 
-    @partial(jax.jit, static_argnums=0)
     def to_affine(self, p: Jacobian) -> Affine:
-        """Jacobian -> affine with ONE batch inversion over the leading axis.
+        """Jacobian -> affine with ONE batch inversion over the leading axis."""
+        if _is_traced(p.x, p.z):
+            return self._to_affine_impl(p)
+        (p_,), _, batch, n = self._canon_jac([p])
+        out = self._to_affine_impl(p_)
+        cn = self._cn()
+        return Affine(
+            _restore(out.x, batch, n, cn),
+            _restore(out.y, batch, n, cn),
+            _restore(out.inf, batch, n, 0),
+        )
 
-        For unbatched points, adds a leading axis internally.
-        """
+    @partial(jax.jit, static_argnums=0)
+    def _to_affine_impl(self, p: Jacobian) -> Affine:
+        """For unbatched points, adds a leading axis internally."""
         F = self.F
         squeeze = p.z.ndim == F.coord_ndim
         z = p.z[None] if squeeze else p.z
@@ -163,8 +245,14 @@ class GroupOps:
 
     # -- group law ----------------------------------------------------------
 
-    @partial(jax.jit, static_argnums=0)
     def double(self, p: Jacobian) -> Jacobian:
+        if _is_traced(p.x, p.z):
+            return self._double_impl(p)
+        (p_,), _, batch, n = self._canon_jac([p])
+        return self._restore_jac(self._double_impl(p_), batch, n)
+
+    @partial(jax.jit, static_argnums=0)
+    def _double_impl(self, p: Jacobian) -> Jacobian:
         """dbl-2009-l (a=0). Maps infinity -> infinity for free (Z3=2YZ=0)."""
         F = self.F
         A = F.sqr(p.x)
@@ -178,8 +266,14 @@ class GroupOps:
         z3 = F.mul_small(F.mul(p.y, p.z), 2)
         return Jacobian(x3, y3, z3)
 
-    @partial(jax.jit, static_argnums=0)
     def add(self, p: Jacobian, q: Jacobian) -> Jacobian:
+        if _is_traced(p.x, q.x):
+            return self._add_impl(p, q)
+        (p_, q_), _, batch, n = self._canon_jac([p, q])
+        return self._restore_jac(self._add_impl(p_, q_), batch, n)
+
+    @partial(jax.jit, static_argnums=0)
+    def _add_impl(self, p: Jacobian, q: Jacobian) -> Jacobian:
         """Complete Jacobian addition (add-2007-bl) with branchless edge
         handling: p=inf, q=inf, p=q (doubling), p=-q (infinity)."""
         F = self.F
@@ -214,8 +308,18 @@ class GroupOps:
         out = self._sel(q_inf, p, out)
         return out
 
-    @partial(jax.jit, static_argnums=0)
     def add_mixed(self, p: Jacobian, q: Affine) -> Jacobian:
+        if _is_traced(p.x, q.x):
+            return self._add_mixed_impl(p, q)
+        cn = self._cn()
+        (p_,), extras, batch, n = self._canon_jac(
+            [p], extras=[(q.x, cn), (q.y, cn), (jnp.asarray(q.inf), 0)]
+        )
+        q_ = Affine(*extras)
+        return self._restore_jac(self._add_mixed_impl(p_, q_), batch, n)
+
+    @partial(jax.jit, static_argnums=0)
+    def _add_mixed_impl(self, p: Jacobian, q: Affine) -> Jacobian:
         """Jacobian + affine (madd-2007-bl): saves ~4 muls; same edge cases."""
         F = self.F
         z1z1 = F.sqr(p.z)
@@ -267,8 +371,18 @@ class GroupOps:
 
     # -- scalar multiplication ----------------------------------------------
 
-    @partial(jax.jit, static_argnums=0)
     def scalar_mul(self, p: Jacobian, scalar_std) -> Jacobian:
+        if _is_traced(p.x, scalar_std):
+            return self._scalar_mul_impl(p, scalar_std)
+        (p_,), extras, batch, n = self._canon_jac(
+            [p], extras=[(scalar_std, 1)]
+        )
+        return self._restore_jac(
+            self._scalar_mul_impl(p_, extras[0]), batch, n
+        )
+
+    @partial(jax.jit, static_argnums=0)
+    def _scalar_mul_impl(self, p: Jacobian, scalar_std) -> Jacobian:
         """Double-and-add, MSB-first, over the full 16*FR_LIMBS bit ladder.
 
         `scalar_std` is an Fr element in STANDARD (non-Montgomery) limb form,

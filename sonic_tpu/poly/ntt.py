@@ -75,6 +75,39 @@ def _ntt_jit(a: jnp.ndarray, tw: jnp.ndarray, n: int, inverse: bool):
     return a
 
 
+@partial(jax.jit, static_argnames=("n", "inverse"))
+def _ntt_batched_jit(a: jnp.ndarray, tw: jnp.ndarray, n: int, inverse: bool):
+    """NTT over axis 0 of (n, B, L): the per-column transform of the
+    four-step sharded NTT (parallel/ntt_sharded.py)."""
+    B = a.shape[1]
+    perm = jnp.asarray(_bit_reverse_perm(n))
+    a = a[perm]
+    m = 1
+    while m < n:
+        v = a.reshape(n // (2 * m), 2, m, B, C.FR_LIMBS)
+        even = v[:, 0]
+        odd = v[:, 1]
+        stride = n // (2 * m)
+        twid = tw[::stride][:m]  # (m, L)
+        t = limb.mul(odd, twid[None, :, None, :], FR)
+        upper = limb.add(even, t, FR)
+        lower = limb.sub(even, t, FR)
+        a = jnp.stack([upper, lower], axis=1).reshape(n, B, C.FR_LIMBS)
+        m *= 2
+    return a
+
+
+def ntt_batched(coeffs: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
+    """In-order NTT over axis 0 of (N, B, L) Montgomery coefficients.
+    Does NOT apply the 1/N scaling for inverse (the sharded caller fuses
+    it with its final twiddle pass)."""
+    n = coeffs.shape[0]
+    assert n & (n - 1) == 0
+    if n == 1:
+        return coeffs
+    return _ntt_batched_jit(coeffs, _twiddles(n, inverse), n, inverse)
+
+
 def ntt(coeffs: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
     """In-order NTT of (N, L) Montgomery coefficients, N a power of two."""
     n = coeffs.shape[0]
