@@ -1,15 +1,23 @@
-"""Branchless Jacobian elliptic-curve group ops over limb fields.
+"""Complete projective elliptic-curve group ops over limb fields.
 
 TPU-native equivalent of the reference's `elliptic-curve` package
-(SURVEY.md §2.3): `gen`, `mul`, point add — but vectorized over batches of
-points with all edge cases (infinity, doubling, inverse pairs) handled by
-`jnp.where` selects so everything jits to straight-line code.
+(SURVEY.md §2.3): `gen`, `mul`, point add — vectorized over batches of
+points using the COMPLETE addition formulas of Renes-Costello-Batina 2016
+(eprint 2015/1060, a=0 algorithms 7-9). Complete formulas are exactly what
+a TPU wants: one straight-line multiply sequence valid for ALL inputs
+(doubling, infinity, inverse pairs) — no per-edge-case selects, no parallel
+doubling computed just to patch P=Q, ~40% fewer field muls per addition
+than a select-patched Jacobian law.
 
-Both BLS12-381 groups share the short-Weierstrass a=0 formulas:
-  G1: y^2 = x^3 + 4       over Fq   (coords shape (..., L))
-  G2: y^2 = x^3 + 4(u+1)  over Fq2  (coords shape (..., 2, L))
+Both BLS12-381 groups share the short-Weierstrass a=0 shape:
+  G1: y^2 = x^3 + 4       over Fq   (coords shape (..., L)),   3b = 12
+  G2: y^2 = x^3 + 4(u+1)  over Fq2  (coords shape (..., 2, L)), 3b = 12+12u
 
-Jacobian coordinates (X, Y, Z), affine = (X/Z^2, Y/Z^3), infinity iff Z=0.
+Homogeneous projective coordinates (X : Y : Z), affine = (X/Z, Y/Z),
+infinity = (0 : 1 : 0) (any Z=0 representative decodes as infinity).
+
+Valid on the prime-order subgroups (completeness needs odd group order —
+BLS12-381 G1/G2 subgroup points only, which is all this library produces).
 """
 from __future__ import annotations
 
@@ -26,9 +34,15 @@ from ..fields import constants as C
 
 
 class Jacobian(NamedTuple):
+    """Projective point (X : Y : Z). (Name kept from the earlier Jacobian
+    representation — all call sites treat it as an opaque device point.)"""
+
     x: Any
     y: Any
     z: Any
+
+
+Point = Jacobian
 
 
 class Affine(NamedTuple):
@@ -68,6 +82,10 @@ class _FqOps:
         return limb.mul_small(a, k, FQ)
 
     @staticmethod
+    def mul_b3(a):
+        return limb.mul_small(a, 12, FQ)  # 3b for b = 4
+
+    @staticmethod
     def is_zero(a):
         return jnp.all(a == 0, axis=-1)
 
@@ -104,6 +122,7 @@ class _Fq2Ops:
     sqr = staticmethod(ext.sqr)
     neg = staticmethod(ext.neg)
     mul_small = staticmethod(ext.mul_small)
+    mul_b3 = staticmethod(ext.mul_b3)
     is_zero = staticmethod(ext.is_zero)
     eq = staticmethod(ext.eq)
     select = staticmethod(ext.select)
@@ -195,7 +214,7 @@ class GroupOps:
 
     def infinity(self, shape=()) -> Jacobian:
         F = self.F
-        return Jacobian(F.ones(shape), F.ones(shape), F.zeros(shape))
+        return Jacobian(F.zeros(shape), F.ones(shape), F.zeros(shape))
 
     def affine_infinity(self, shape=()) -> Affine:
         F = self.F
@@ -204,11 +223,14 @@ class GroupOps:
         )
 
     def from_affine(self, p: Affine) -> Jacobian:
-        """Affine -> Jacobian (infinity flag -> Z=0)."""
+        """Affine -> projective: (x, y, 1); infinity flag -> (0, 1, 0)."""
         F = self.F
+        batch = p.x.shape[: p.x.ndim - F.coord_ndim]
         one = jnp.broadcast_to(F.ones(), p.x.shape)
-        z = F.select(p.inf, F.zeros(p.x.shape[: -F.coord_ndim]), one)
-        return Jacobian(p.x, p.y, z)
+        x = F.select(p.inf, jnp.zeros_like(p.x), p.x)
+        y = F.select(p.inf, one, p.y)
+        z = F.select(p.inf, F.zeros(batch), one)
+        return Jacobian(x, y, z)
 
     def to_affine(self, p: Jacobian) -> Affine:
         """Jacobian -> affine with ONE batch inversion over the leading axis."""
@@ -225,7 +247,8 @@ class GroupOps:
 
     @partial(jax.jit, static_argnums=0)
     def _to_affine_impl(self, p: Jacobian) -> Affine:
-        """For unbatched points, adds a leading axis internally."""
+        """(X:Y:Z) -> (X/Z, Y/Z); one batch inversion over the leading axis.
+        For unbatched points, adds a leading axis internally."""
         F = self.F
         squeeze = p.z.ndim == F.coord_ndim
         z = p.z[None] if squeeze else p.z
@@ -233,9 +256,8 @@ class GroupOps:
         y = p.y[None] if squeeze else p.y
         inf = F.is_zero(z)
         zinv = F.batch_inv(z)
-        zinv2 = F.sqr(zinv)
-        ax = F.mul(x, zinv2)
-        ay = F.mul(y, F.mul(zinv, zinv2))
+        ax = F.mul(x, zinv)
+        ay = F.mul(y, zinv)
         ax = F.select(inf, jnp.zeros_like(ax), ax)
         ay = F.select(inf, jnp.zeros_like(ay), ay)
         out = Affine(ax, ay, inf)
@@ -253,17 +275,22 @@ class GroupOps:
 
     @partial(jax.jit, static_argnums=0)
     def _double_impl(self, p: Jacobian) -> Jacobian:
-        """dbl-2009-l (a=0). Maps infinity -> infinity for free (Z3=2YZ=0)."""
+        """Complete doubling (RCB16 algorithm 9, a=0): 6M + 2S + 1 mul-by-3b.
+        Maps infinity -> infinity (Z3 = 8 Y^2 (YZ) = 0 when Z = 0)."""
         F = self.F
-        A = F.sqr(p.x)
-        B = F.sqr(p.y)
-        Cc = F.sqr(B)
-        D = F.mul_small(F.sub(F.sub(F.sqr(F.add(p.x, B)), A), Cc), 2)
-        E = F.mul_small(A, 3)
-        Ff = F.sqr(E)
-        x3 = F.sub(Ff, F.mul_small(D, 2))
-        y3 = F.sub(F.mul(E, F.sub(D, x3)), F.mul_small(Cc, 8))
-        z3 = F.mul_small(F.mul(p.y, p.z), 2)
+        t0 = F.sqr(p.y)
+        z3 = F.mul_small(t0, 8)
+        t1 = F.mul(p.y, p.z)
+        t2 = F.mul_b3(F.sqr(p.z))
+        x3 = F.mul(t2, z3)
+        y3 = F.add(t0, t2)
+        z3 = F.mul(t1, z3)
+        t2 = F.mul_small(t2, 3)
+        t0 = F.sub(t0, t2)
+        y3 = F.mul(t0, y3)
+        y3 = F.add(x3, y3)
+        t1 = F.mul(p.x, p.y)
+        x3 = F.mul_small(F.mul(t0, t1), 2)
         return Jacobian(x3, y3, z3)
 
     def add(self, p: Jacobian, q: Jacobian) -> Jacobian:
@@ -274,39 +301,28 @@ class GroupOps:
 
     @partial(jax.jit, static_argnums=0)
     def _add_impl(self, p: Jacobian, q: Jacobian) -> Jacobian:
-        """Complete Jacobian addition (add-2007-bl) with branchless edge
-        handling: p=inf, q=inf, p=q (doubling), p=-q (infinity)."""
+        """COMPLETE projective addition (RCB16 algorithm 7, a=0):
+        12M + 2 mul-by-3b, valid for every input pair — doubling, infinity
+        and inverse pairs included, zero selects."""
         F = self.F
-        z1z1 = F.sqr(p.z)
-        z2z2 = F.sqr(q.z)
-        u1 = F.mul(p.x, z2z2)
-        u2 = F.mul(q.x, z1z1)
-        s1 = F.mul(p.y, F.mul(q.z, z2z2))
-        s2 = F.mul(q.y, F.mul(p.z, z1z1))
-        h = F.sub(u2, u1)
-        rr = F.mul_small(F.sub(s2, s1), 2)
-
-        i = F.sqr(F.mul_small(h, 2))
-        j = F.mul(h, i)
-        v = F.mul(u1, i)
-        x3 = F.sub(F.sub(F.sqr(rr), j), F.mul_small(v, 2))
-        y3 = F.sub(F.mul(rr, F.sub(v, x3)), F.mul_small(F.mul(s1, j), 2))
-        z3 = F.mul(F.mul(h, p.z), F.mul_small(q.z, 2))
-        generic = Jacobian(x3, y3, z3)
-
-        p_inf = F.is_zero(p.z)
-        q_inf = F.is_zero(q.z)
-        h_zero = F.is_zero(h)
-        r_zero = F.is_zero(rr)
-        is_double = h_zero & r_zero & ~p_inf & ~q_inf
-        is_cancel = h_zero & ~r_zero & ~p_inf & ~q_inf
-
-        dbl = self.double(p)
-        out = self._sel(is_double, dbl, generic)
-        out = self._sel(is_cancel, self._inf_like(out), out)
-        out = self._sel(p_inf, q, out)
-        out = self._sel(q_inf, p, out)
-        return out
+        t0 = F.mul(p.x, q.x)
+        t1 = F.mul(p.y, q.y)
+        t2 = F.mul(p.z, q.z)
+        t3 = F.mul(F.add(p.x, p.y), F.add(q.x, q.y))
+        t3 = F.sub(t3, F.add(t0, t1))  # X1Y2 + X2Y1
+        t4 = F.mul(F.add(p.y, p.z), F.add(q.y, q.z))
+        t4 = F.sub(t4, F.add(t1, t2))  # Y1Z2 + Y2Z1
+        x3 = F.mul(F.add(p.x, p.z), F.add(q.x, q.z))
+        y3 = F.sub(x3, F.add(t0, t2))  # X1Z2 + X2Z1
+        t0 = F.mul_small(t0, 3)  # 3 X1X2
+        t2 = F.mul_b3(t2)  # 3b Z1Z2
+        z3 = F.add(t1, t2)
+        t1 = F.sub(t1, t2)
+        y3 = F.mul_b3(y3)  # 3b (X1Z2 + X2Z1)
+        x3 = F.sub(F.mul(t3, t1), F.mul(t4, y3))
+        y3 = F.add(F.mul(t1, z3), F.mul(y3, t0))
+        z3 = F.add(F.mul(z3, t4), F.mul(t0, t3))
+        return Jacobian(x3, y3, z3)
 
     def add_mixed(self, p: Jacobian, q: Affine) -> Jacobian:
         if _is_traced(p.x, q.x):
@@ -320,35 +336,25 @@ class GroupOps:
 
     @partial(jax.jit, static_argnums=0)
     def _add_mixed_impl(self, p: Jacobian, q: Affine) -> Jacobian:
-        """Jacobian + affine (madd-2007-bl): saves ~4 muls; same edge cases."""
+        """Complete mixed addition (RCB16 algorithm 8, a=0, Z2=1):
+        11M + 2 mul-by-3b. The only remaining edge is the affine side's
+        infinity FLAG (no projective encoding at Z2=1) — one select."""
         F = self.F
-        z1z1 = F.sqr(p.z)
-        u2 = F.mul(q.x, z1z1)
-        s2 = F.mul(q.y, F.mul(p.z, z1z1))
-        h = F.sub(u2, p.x)
-        rr = F.mul_small(F.sub(s2, p.y), 2)
-
-        hh = F.sqr(h)
-        i = F.mul_small(hh, 4)
-        j = F.mul(h, i)
-        v = F.mul(p.x, i)
-        x3 = F.sub(F.sub(F.sqr(rr), j), F.mul_small(v, 2))
-        y3 = F.sub(F.mul(rr, F.sub(v, x3)), F.mul_small(F.mul(p.y, j), 2))
-        z3 = F.sub(F.sub(F.sqr(F.add(p.z, h)), z1z1), hh)
-        generic = Jacobian(x3, y3, z3)
-
-        p_inf = F.is_zero(p.z)
-        h_zero = F.is_zero(h)
-        r_zero = F.is_zero(rr)
-        is_double = h_zero & r_zero & ~p_inf & ~q.inf
-        is_cancel = h_zero & ~r_zero & ~p_inf & ~q.inf
-
-        dbl = self.double(p)
-        out = self._sel(is_double, dbl, generic)
-        out = self._sel(is_cancel, self._inf_like(out), out)
-        out = self._sel(p_inf, self.from_affine(q), out)
-        out = self._sel(q.inf, p, out)
-        return out
+        t0 = F.mul(p.x, q.x)
+        t1 = F.mul(p.y, q.y)
+        t3 = F.mul(F.add(q.x, q.y), F.add(p.x, p.y))
+        t3 = F.sub(t3, F.add(t0, t1))  # X1Y2 + X2Y1
+        t4 = F.add(F.mul(q.y, p.z), p.y)  # Y1 + Y2Z1
+        y3 = F.add(F.mul(q.x, p.z), p.x)  # X1 + X2Z1
+        t0 = F.mul_small(t0, 3)
+        t2 = F.mul_b3(p.z)  # 3b Z1
+        z3 = F.add(t1, t2)
+        t1 = F.sub(t1, t2)
+        y3 = F.mul_b3(y3)
+        x3 = F.sub(F.mul(t3, t1), F.mul(t4, y3))
+        y3 = F.add(F.mul(t1, z3), F.mul(y3, t0))
+        z3 = F.add(F.mul(z3, t4), F.mul(t0, t3))
+        return self._sel(q.inf, p, Jacobian(x3, y3, z3))
 
     def neg(self, p: Jacobian) -> Jacobian:
         return Jacobian(p.x, self.F.neg(p.y), p.z)
@@ -364,7 +370,7 @@ class GroupOps:
     def _inf_like(self, p: Jacobian) -> Jacobian:
         F = self.F
         return Jacobian(
-            jnp.broadcast_to(F.ones(), p.x.shape),
+            jnp.zeros_like(p.x),
             jnp.broadcast_to(F.ones(), p.y.shape),
             jnp.zeros_like(p.z),
         )

@@ -83,6 +83,16 @@ def mul_small(a, k: int):
     return limb.mul_small(a, k, FQ)
 
 
+def mul_b3(a):
+    """a * 3b for the G2 curve constant b = 4(u+1): 3b = 12 + 12u.
+    (a0 + a1 u)(12 + 12u) = 12(a0 - a1) + 12(a0 + a1) u   (u^2 = -1)."""
+    a0, a1 = c0(a), c1(a)
+    return make(
+        limb.mul_small(limb.sub(a0, a1, FQ), 12, FQ),
+        limb.mul_small(limb.add(a0, a1, FQ), 12, FQ),
+    )
+
+
 @jax.jit
 def inv(a):
     # 1/(a0 + a1 u) = (a0 - a1 u) / (a0^2 + a1^2);  0 -> 0 (limb.inv(0)=0)

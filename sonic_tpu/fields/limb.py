@@ -108,71 +108,127 @@ FQ = FieldSpec("Fq", C.Q_MOD, C.FQ_LIMBS)
 # ---------------------------------------------------------------------------
 
 
-def _shift_up(a: jnp.ndarray, d: int) -> jnp.ndarray:
-    """Shift limbs towards higher indices by d, zero-filling the bottom."""
-    pad = jnp.zeros(a.shape[:-1] + (d,), a.dtype)
-    return jnp.concatenate([pad, a[..., :-d]], axis=-1)
 
 
-def _carry_sweep(cols: jnp.ndarray, out_limbs: int) -> jnp.ndarray:
-    """Propagate carries: columns (each < 2^24) -> canonical 16-bit limbs.
 
-    O(log L) Kogge-Stone carry propagation instead of a sequential ripple:
-    after one fold, residual carries are single bits, resolved with a
-    parallel-prefix generate/propagate scan. The final carry out of the top
-    limb is dropped — callers must guarantee the value fits in out_limbs.
-    """
-    k_in = cols.shape[-1]
+
+# ---------------------------------------------------------------------------
+# Limb-major ("lm") internals
+#
+# Products and carries are computed with the LIMB AXIS LEADING: arrays are
+# (L, ...batch) so the batch lands in the TPU lane dimension (full 128-lane
+# VPU utilization; the (..., L) layout wastes 81-87% of lanes) and the limb
+# convolution runs as L shifted multiply-accumulates over (L, batch) panels
+# — never materializing the (batch, La, Lb) outer product whose tile padding
+# (5.3x for L=24) blows HBM at MSM scale. Public ops moveaxis at the
+# boundary; XLA cancels adjacent transposes between chained ops.
+# ---------------------------------------------------------------------------
+
+
+def _to_lm(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.moveaxis(x, -1, 0)
+
+
+def _from_lm(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.moveaxis(x, 0, -1)
+
+
+def _shift_up_lm(a: jnp.ndarray, d: int) -> jnp.ndarray:
+    pad = jnp.zeros((d,) + a.shape[1:], a.dtype)
+    return jnp.concatenate([pad, a[:-d]], axis=0)
+
+
+def _conv_lm(a: jnp.ndarray, b: jnp.ndarray, out_cols: int) -> jnp.ndarray:
+    """Column sums of the limb product, limb-major: (La, ...) x (Lb, ...) ->
+    (out_cols, ...). Partial products split hi/lo so every accumulated term
+    is < 2^16; column sums stay < 2L * 2^17 << 2^32. NOT carry-propagated.
+
+    Built as La shift-padded rows summed with one reduction — no dynamic
+    update slices (hostile to compile time) and no (batch, La, Lb) outer
+    product (hostile to HBM: its tile padding is 5.3x for L=24)."""
+    La, Lb = a.shape[0], b.shape[0]
+    tail = np.broadcast_shapes(a.shape[1:], b.shape[1:])
+    zero_tail = jnp.zeros((1,) + tail, jnp.uint32)
+    rows = []
+    for i in range(La):
+        p = a[i][None] * jnp.broadcast_to(b, (Lb,) + tail)  # exact in uint32
+        lo = p & MASK
+        hi = p >> SHIFT
+        # combined row: lo at offset i, hi at offset i+1 (length Lb+1)
+        row = jnp.concatenate([lo, zero_tail], 0) + jnp.concatenate(
+            [zero_tail, hi], 0
+        )
+        row = row[: out_cols - i]  # clip anything past the output window
+        pre, post = i, out_cols - i - row.shape[0]
+        rows.append(jnp.pad(row, [(pre, post)] + [(0, 0)] * len(tail)))
+    acc = jnp.stack(rows, 0)
+    return acc.sum(axis=0, dtype=jnp.uint32)
+
+
+def _carry_sweep_lm(cols: jnp.ndarray, out_limbs: int) -> jnp.ndarray:
+    """Limb-major carry propagation (same algorithm as _carry_sweep)."""
+    k_in = cols.shape[0]
     if k_in < out_limbs:
         cols = jnp.concatenate(
-            [cols, jnp.zeros(cols.shape[:-1] + (out_limbs - k_in,), cols.dtype)],
-            axis=-1,
+            [cols, jnp.zeros((out_limbs - k_in,) + cols.shape[1:], cols.dtype)],
+            axis=0,
         )
     elif k_in > out_limbs:
-        cols = cols[..., :out_limbs]
-    # fold multi-bit carries once: columns < 2^24 so carry-ins < 2^8
-    y = (cols & MASK) + _shift_up(cols >> SHIFT, 1)
-    # y < 2^16 + 2^8: remaining carries are 0/1
-    g = (y >> SHIFT).astype(jnp.uint32)  # generate
-    p = ((y & MASK) == MASK)  # propagate
+        cols = cols[:out_limbs]
+    y = (cols & MASK) + _shift_up_lm(cols >> SHIFT, 1)
+    g = (y >> SHIFT).astype(jnp.uint32)
+    p = (y & MASK) == MASK
     G, P = g != 0, p
     d = 1
     while d < out_limbs:
-        G = G | (P & _shift_up(G, d))
-        P = P & _shift_up(P, d)
+        G = G | (P & _shift_up_lm(G, d))
+        P = P & _shift_up_lm(P, d)
         d *= 2
-    cin = _shift_up(G, 1).astype(jnp.uint32)
+    cin = _shift_up_lm(G, 1).astype(jnp.uint32)
     return (y + cin) & MASK
 
 
-def _conv_columns(a: jnp.ndarray, b: jnp.ndarray, out_cols: int) -> jnp.ndarray:
-    """Column sums of the limb product a*b, truncated to out_cols columns.
+def _sub_limbs_lm(a: jnp.ndarray, b: jnp.ndarray):
+    """a - b limb-major; returns (diff, borrow (...,) uint32 0/1)."""
+    L = a.shape[0]
+    a, b = jnp.broadcast_arrays(a, b)
+    g = a < b
+    p = a == b
+    G, P = g, p
+    d = 1
+    while d < L:
+        G = G | (P & _shift_up_lm(G, d))
+        P = P & _shift_up_lm(P, d)
+        d *= 2
+    bin_ = _shift_up_lm(G, 1).astype(jnp.uint32)
+    diff = (a - b - bin_) & MASK
+    return diff, G[L - 1].astype(jnp.uint32)
 
-    Partial products are split hi/lo so every accumulated term is < 2^16;
-    column sums stay < ~2^23 for L <= 48. Returns uint32 columns (NOT
-    carry-propagated).
 
-    Implemented as one anti-diagonal gather + reduction (3 XLA ops) rather
-    than an unrolled shift-accumulate, to keep op counts small inside scan
-    bodies (this function is the innermost primitive of the whole stack).
-    """
-    La, Lb = a.shape[-1], b.shape[-1]
-    prod = a[..., :, None] * b[..., None, :]  # (..., La, Lb) exact in uint32
-    lo = prod & MASK
-    hi = prod >> SHIFT
-    # column k of lo collects lo[i, k-i]; of hi collects hi[i, k-1-i]
-    j_lo = np.arange(out_cols)[None, :] - np.arange(La)[:, None]  # (La, out)
+def _const_lm(limbs: np.ndarray, ndim_tail: int) -> jnp.ndarray:
+    return jnp.asarray(limbs).reshape((len(limbs),) + (1,) * ndim_tail)
 
-    def diag_sum(mat, jidx):
-        valid = jnp.asarray((jidx >= 0) & (jidx < Lb), dtype=jnp.uint32)
-        safe = np.clip(jidx, 0, Lb - 1)
-        idx = jnp.broadcast_to(
-            jnp.asarray(safe, jnp.int32), mat.shape[:-1] + (out_cols,)
-        )
-        take = jnp.take_along_axis(mat, idx, axis=-1)
-        return (take * valid).sum(axis=-2, dtype=jnp.uint32)
 
-    return diag_sum(lo, j_lo) + diag_sum(hi, j_lo - 1)
+def _cond_sub_mod_lm(x: jnp.ndarray, spec: FieldSpec) -> jnp.ndarray:
+    mod = jnp.broadcast_to(_const_lm(spec.mod_limbs, x.ndim - 1), x.shape)
+    diff, borrow = _sub_limbs_lm(x, mod)
+    return jnp.where((borrow == 0)[None], diff, x)
+
+
+def _redc_lm(t: jnp.ndarray, spec: FieldSpec) -> jnp.ndarray:
+    """Montgomery reduction, limb-major: T (2L, ...) -> T*R^-1 mod N (L, ...)."""
+    L = spec.nlimbs
+    npr = _const_lm(spec.nprime_limbs, t.ndim - 1)
+    m = _carry_sweep_lm(_conv_lm(t[:L], npr, L), L)
+    mod = _const_lm(spec.mod_limbs, t.ndim - 1)
+    t2 = _carry_sweep_lm(_conv_lm(m, mod, 2 * L) + t, 2 * L + 1)
+    return _cond_sub_mod_lm(t2[L : 2 * L], spec)
+
+
+def _mul_lm(a: jnp.ndarray, b: jnp.ndarray, spec: FieldSpec) -> jnp.ndarray:
+    L = spec.nlimbs
+    t = _carry_sweep_lm(_conv_lm(a, b, 2 * L), 2 * L)
+    return _redc_lm(t, spec)
 
 
 # ---------------------------------------------------------------------------
@@ -180,31 +236,8 @@ def _conv_columns(a: jnp.ndarray, b: jnp.ndarray, out_cols: int) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _sub_limbs(a: jnp.ndarray, b: jnp.ndarray):
-    """a - b with parallel-prefix borrow propagation.
-
-    Returns (diff limbs, final borrow: uint32 0/1)."""
-    L = a.shape[-1]
-    a, b = jnp.broadcast_arrays(a, b)
-    g = a < b  # generate borrow
-    p = a == b  # propagate borrow
-    G, P = g, p
-    d = 1
-    while d < L:
-        G = G | (P & _shift_up(G, d))
-        P = P & _shift_up(P, d)
-        d *= 2
-    bin_ = _shift_up(G, 1).astype(jnp.uint32)  # borrow into limb k
-    diff = (a - b - bin_) & MASK  # uint32 wraparound + mask
-    final_borrow = G[..., L - 1].astype(jnp.uint32)
-    return diff, final_borrow
 
 
-def _cond_sub_mod(x: jnp.ndarray, spec: FieldSpec) -> jnp.ndarray:
-    """If x >= modulus, return x - modulus, else x. x canonical limbs."""
-    diff, borrow = _sub_limbs(x, jnp.asarray(spec.mod_limbs))
-    take_diff = (borrow == 0)[..., None]
-    return jnp.where(take_diff, diff, x)
 
 
 # ---------------------------------------------------------------------------
@@ -216,47 +249,30 @@ def _cond_sub_mod(x: jnp.ndarray, spec: FieldSpec) -> jnp.ndarray:
 def add(a, b, spec: FieldSpec):
     # For both Fr and Fq, 2N < R = 2^(16 L), so the sum of two canonical
     # values fits in L limbs and one conditional subtract restores < N.
-    cols = a + b  # limbs < 2^17
-    s = _carry_sweep(cols, spec.nlimbs)
-    return _cond_sub_mod(s, spec)
+    a, b = jnp.broadcast_arrays(a, b)
+    s = _carry_sweep_lm(_to_lm(a) + _to_lm(b), spec.nlimbs)
+    return _from_lm(_cond_sub_mod_lm(s, spec))
 
 
 @partial(jax.jit, static_argnames="spec")
 def sub(a, b, spec: FieldSpec):
-    diff, borrow = _sub_limbs(a, b)
+    a, b = jnp.broadcast_arrays(a, b)
+    diff, borrow = _sub_limbs_lm(_to_lm(a), _to_lm(b))
     # if borrowed, add modulus back
-    cols = diff + jnp.asarray(spec.mod_limbs)
-    added = _carry_sweep(cols, spec.nlimbs)
-    return jnp.where((borrow != 0)[..., None], added, diff)
+    mod = _const_lm(spec.mod_limbs, diff.ndim - 1)
+    added = _carry_sweep_lm(diff + mod, spec.nlimbs)
+    return _from_lm(jnp.where((borrow != 0)[None], added, diff))
 
 
 def neg(a, spec: FieldSpec):
     return sub(spec.zeros(a.shape[:-1]), a, spec)
 
 
-def _redc(t_limbs: jnp.ndarray, spec: FieldSpec) -> jnp.ndarray:
-    """Separated Montgomery reduction: T (2L canonical limbs) -> T*R^-1 mod N."""
-    L = spec.nlimbs
-    t_lo = t_limbs[..., :L]
-    # m = (T mod R) * N' mod R  (low-half product)
-    m_cols = _conv_columns(t_lo, jnp.asarray(spec.nprime_limbs), L)
-    m = _carry_sweep(m_cols, L)
-    # t2 = T + m*N ; exactly divisible by R, and t2/R < 2N < R for our specs
-    mn_cols = _conv_columns(m, jnp.asarray(spec.mod_limbs), 2 * L)
-    cols = mn_cols + t_limbs  # < 2^23 + 2^16
-    t2 = _carry_sweep(cols, 2 * L + 1)
-    # t2/R < 2N < R, so the limb at position 2L is always zero: drop it.
-    res = t2[..., L : 2 * L]
-    return _cond_sub_mod(res, spec)
-
-
 @partial(jax.jit, static_argnames="spec")
 def mul(a, b, spec: FieldSpec):
     """Montgomery product: (a*b*R^-1) mod N, canonical."""
-    L = spec.nlimbs
-    cols = _conv_columns(a, b, 2 * L)
-    t = _carry_sweep(cols, 2 * L)
-    return _redc(t, spec)
+    a, b = jnp.broadcast_arrays(a, b)
+    return _from_lm(_mul_lm(_to_lm(a), _to_lm(b), spec))
 
 
 def sqr(a, spec: FieldSpec):
@@ -287,8 +303,10 @@ def to_mont(a, spec: FieldSpec):
 
 def from_mont(a, spec: FieldSpec):
     L = spec.nlimbs
-    t = jnp.concatenate([a, jnp.zeros(a.shape[:-1] + (L,), jnp.uint32)], axis=-1)
-    return _redc(t, spec)
+    t = jnp.concatenate(
+        [_to_lm(a), jnp.zeros((L,) + a.shape[:-1], jnp.uint32)], axis=0
+    )
+    return _from_lm(_redc_lm(t, spec))
 
 
 @partial(jax.jit, static_argnames="spec")
