@@ -109,6 +109,18 @@ class _FqOps:
     def batch_inv(a):
         return limb.batch_inv(a, FQ)
 
+    @staticmethod
+    def mul_many(pairs):
+        return limb.mul_many(pairs, FQ)
+
+    @staticmethod
+    def add_many(pairs):
+        return limb.add_many(pairs, FQ)
+
+    @staticmethod
+    def sub_many(pairs):
+        return limb.sub_many(pairs, FQ)
+
 
 class _Fq2Ops:
     """Uniform field-op namespace for Fq2 (G2 coordinates)."""
@@ -129,6 +141,9 @@ class _Fq2Ops:
     zeros = staticmethod(ext.zeros)
     ones = staticmethod(ext.ones)
     batch_inv = staticmethod(ext.batch_inv)
+    mul_many = staticmethod(ext.mul_many)
+    add_many = staticmethod(ext.add_many)
+    sub_many = staticmethod(ext.sub_many)
 
 
 # Host-level calls pad their batch axis to a power of two (min 8) so the
@@ -277,20 +292,20 @@ class GroupOps:
     def _double_impl(self, p: Jacobian) -> Jacobian:
         """Complete doubling (RCB16 algorithm 9, a=0): 6M + 2S + 1 mul-by-3b.
         Maps infinity -> infinity (Z3 = 8 Y^2 (YZ) = 0 when Z = 0)."""
+        # 8 multiplies as two stacked mul_many calls (see _add_impl).
         F = self.F
-        t0 = F.sqr(p.y)
+        t0, t1, zz, xy = F.mul_many(
+            [(p.y, p.y), (p.y, p.z), (p.z, p.z), (p.x, p.y)]
+        )
         z3 = F.mul_small(t0, 8)
-        t1 = F.mul(p.y, p.z)
-        t2 = F.mul_b3(F.sqr(p.z))
-        x3 = F.mul(t2, z3)
+        t2 = F.mul_b3(zz)
         y3 = F.add(t0, t2)
-        z3 = F.mul(t1, z3)
-        t2 = F.mul_small(t2, 3)
-        t0 = F.sub(t0, t2)
-        y3 = F.mul(t0, y3)
-        y3 = F.add(x3, y3)
-        t1 = F.mul(p.x, p.y)
-        x3 = F.mul_small(F.mul(t0, t1), 2)
+        t0 = F.sub(t0, F.mul_small(t2, 3))
+        x3, z3, ym, xm = F.mul_many(
+            [(t2, z3), (t1, z3), (t0, y3), (t0, xy)]
+        )
+        y3 = F.add(x3, ym)
+        x3 = F.mul_small(xm, 2)
         return Jacobian(x3, y3, z3)
 
     def add(self, p: Jacobian, q: Jacobian) -> Jacobian:
@@ -304,24 +319,35 @@ class GroupOps:
         """COMPLETE projective addition (RCB16 algorithm 7, a=0):
         12M + 2 mul-by-3b, valid for every input pair — doubling, infinity
         and inverse pairs included, zero selects."""
+        # The 12 multiplies run as TWO stacked mul calls (mul_many):
+        # XLA compile time is superlinear in graph size, and one fully
+        # unrolled add graph cost minutes of XLA:CPU compile.
         F = self.F
-        t0 = F.mul(p.x, q.x)
-        t1 = F.mul(p.y, q.y)
-        t2 = F.mul(p.z, q.z)
-        t3 = F.mul(F.add(p.x, p.y), F.add(q.x, q.y))
-        t3 = F.sub(t3, F.add(t0, t1))  # X1Y2 + X2Y1
-        t4 = F.mul(F.add(p.y, p.z), F.add(q.y, q.z))
-        t4 = F.sub(t4, F.add(t1, t2))  # Y1Z2 + Y2Z1
-        x3 = F.mul(F.add(p.x, p.z), F.add(q.x, q.z))
-        y3 = F.sub(x3, F.add(t0, t2))  # X1Z2 + X2Z1
+        sxy_p, syz_p, sxz_p, sxy_q, syz_q, sxz_q = F.add_many(
+            [
+                (p.x, p.y), (p.y, p.z), (p.x, p.z),
+                (q.x, q.y), (q.y, q.z), (q.x, q.z),
+            ]
+        )
+        t0, t1, t2, t3, t4, xz = F.mul_many(
+            [
+                (p.x, q.x), (p.y, q.y), (p.z, q.z),
+                (sxy_p, sxy_q), (syz_p, syz_q), (sxz_p, sxz_q),
+            ]
+        )
+        u01, u12, u02 = F.add_many([(t0, t1), (t1, t2), (t0, t2)])
+        t3, t4, y3 = F.sub_many([(t3, u01), (t4, u12), (xz, u02)])
+        # t3 = X1Y2 + X2Y1; t4 = Y1Z2 + Y2Z1; y3 = X1Z2 + X2Z1
         t0 = F.mul_small(t0, 3)  # 3 X1X2
         t2 = F.mul_b3(t2)  # 3b Z1Z2
         z3 = F.add(t1, t2)
         t1 = F.sub(t1, t2)
         y3 = F.mul_b3(y3)  # 3b (X1Z2 + X2Z1)
-        x3 = F.sub(F.mul(t3, t1), F.mul(t4, y3))
-        y3 = F.add(F.mul(t1, z3), F.mul(y3, t0))
-        z3 = F.add(F.mul(z3, t4), F.mul(t0, t3))
+        m0, m1, m2, m3, m4, m5 = F.mul_many(
+            [(t3, t1), (t4, y3), (t1, z3), (y3, t0), (z3, t4), (t0, t3)]
+        )
+        x3 = F.sub(m0, m1)
+        y3, z3 = F.add_many([(m2, m3), (m4, m5)])
         return Jacobian(x3, y3, z3)
 
     def add_mixed(self, p: Jacobian, q: Affine) -> Jacobian:
@@ -339,21 +365,24 @@ class GroupOps:
         """Complete mixed addition (RCB16 algorithm 8, a=0, Z2=1):
         11M + 2 mul-by-3b. The only remaining edge is the affine side's
         infinity FLAG (no projective encoding at Z2=1) — one select."""
+        # 11 multiplies as two stacked mul_many calls (see _add_impl).
         F = self.F
-        t0 = F.mul(p.x, q.x)
-        t1 = F.mul(p.y, q.y)
-        t3 = F.mul(F.add(q.x, q.y), F.add(p.x, p.y))
-        t3 = F.sub(t3, F.add(t0, t1))  # X1Y2 + X2Y1
-        t4 = F.add(F.mul(q.y, p.z), p.y)  # Y1 + Y2Z1
-        y3 = F.add(F.mul(q.x, p.z), p.x)  # X1 + X2Z1
+        sxy_p, sxy_q = F.add_many([(p.x, p.y), (q.x, q.y)])
+        t0, t1, t3, yz, xz = F.mul_many(
+            [(p.x, q.x), (p.y, q.y), (sxy_q, sxy_p), (q.y, p.z), (q.x, p.z)]
+        )
+        u01, t4, y3 = F.add_many([(t0, t1), (yz, p.y), (xz, p.x)])
+        t3 = F.sub(t3, u01)  # X1Y2 + X2Y1
         t0 = F.mul_small(t0, 3)
         t2 = F.mul_b3(p.z)  # 3b Z1
         z3 = F.add(t1, t2)
         t1 = F.sub(t1, t2)
         y3 = F.mul_b3(y3)
-        x3 = F.sub(F.mul(t3, t1), F.mul(t4, y3))
-        y3 = F.add(F.mul(t1, z3), F.mul(y3, t0))
-        z3 = F.add(F.mul(z3, t4), F.mul(t0, t3))
+        m0, m1, m2, m3, m4, m5 = F.mul_many(
+            [(t3, t1), (t4, y3), (t1, z3), (y3, t0), (z3, t4), (t0, t3)]
+        )
+        x3 = F.sub(m0, m1)
+        y3, z3 = F.add_many([(m2, m3), (m4, m5)])
         return self._sel(q.inf, p, Jacobian(x3, y3, z3))
 
     def neg(self, p: Jacobian) -> Jacobian:

@@ -87,10 +87,39 @@ def mul_b3(a):
     """a * 3b for the G2 curve constant b = 4(u+1): 3b = 12 + 12u.
     (a0 + a1 u)(12 + 12u) = 12(a0 - a1) + 12(a0 + a1) u   (u^2 = -1)."""
     a0, a1 = c0(a), c1(a)
-    return make(
-        limb.mul_small(limb.sub(a0, a1, FQ), 12, FQ),
-        limb.mul_small(limb.add(a0, a1, FQ), 12, FQ),
-    )
+    m = make(limb.sub(a0, a1, FQ), limb.add(a0, a1, FQ))
+    return limb.mul_small(m, 12, FQ)
+
+
+def _stack_pairs(pairs):
+    import numpy as np
+
+    common = ()
+    for a, b in pairs:
+        common = np.broadcast_shapes(common, a.shape, b.shape)
+    sa = jnp.stack([jnp.broadcast_to(a, common) for a, _ in pairs])
+    sb = jnp.stack([jnp.broadcast_to(b, common) for _, b in pairs])
+    return sa, sb, len(pairs)
+
+
+def mul_many(pairs):
+    """k independent Fq2 products as one stacked karatsuba (3 limb muls
+    total, regardless of k) — keeps curve-formula graphs small."""
+    sa, sb, k = _stack_pairs(pairs)
+    out = mul(sa, sb)
+    return [out[i] for i in range(k)]
+
+
+def add_many(pairs):
+    sa, sb, k = _stack_pairs(pairs)
+    out = add(sa, sb)
+    return [out[i] for i in range(k)]
+
+
+def sub_many(pairs):
+    sa, sb, k = _stack_pairs(pairs)
+    out = sub(sa, sb)
+    return [out[i] for i in range(k)]
 
 
 @jax.jit

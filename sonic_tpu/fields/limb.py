@@ -138,35 +138,97 @@ def _shift_up_lm(a: jnp.ndarray, d: int) -> jnp.ndarray:
     return jnp.concatenate([pad, a[:-d]], axis=0)
 
 
+def _shear_sum(x: jnp.ndarray, shift0: int, out_cols: int) -> jnp.ndarray:
+    """sum_i shift(x[i], by i+shift0), clipped to out_cols columns.
+
+    x: (R, C, ...tail). Row i contributes x[i, j] to output column
+    i + j + shift0. Implemented with the pad/reshape shear trick — O(1)
+    HLO ops total (vs O(R) concat/pad chains), which keeps compile time
+    linear in the formula, not in the limb count: pad each row to width
+    out_cols+1 with shift0 leading zeros, flatten the leading two axes
+    (row stride out_cols+1), truncate to R*out_cols, and reshape to
+    (R, out_cols) — row i lands shifted right by exactly i. Entries that
+    would spill past out_cols are masked to zero first so the stride
+    aliasing is harmless."""
+    R, Cc = x.shape[0], x.shape[1]
+    tail = x.shape[2:]
+    Wp = out_cols + 1
+    # mask[i, j] = 1 iff i + j + shift0 < out_cols  (static constant)
+    i_idx = np.arange(R)[:, None]
+    j_idx = np.arange(Cc)[None, :]
+    keep = (i_idx + j_idx + shift0) < out_cols
+    if not keep.all():
+        x = x * jnp.asarray(
+            keep.astype(np.uint32).reshape((R, Cc) + (1,) * len(tail))
+        )
+    pad_right = Wp - shift0 - Cc
+    if pad_right < 0:
+        x = x[:, :Wp - shift0]
+        pad_right = 0
+    x = jnp.pad(
+        x, [(0, 0), (shift0, pad_right)] + [(0, 0)] * len(tail)
+    )
+    flat = x.reshape((R * Wp,) + tail)
+    y = flat[: R * out_cols].reshape((R, out_cols) + tail)
+    return y.sum(axis=0, dtype=jnp.uint32)
+
+
 def _conv_lm(a: jnp.ndarray, b: jnp.ndarray, out_cols: int) -> jnp.ndarray:
     """Column sums of the limb product, limb-major: (La, ...) x (Lb, ...) ->
     (out_cols, ...). Partial products split hi/lo so every accumulated term
     is < 2^16; column sums stay < 2L * 2^17 << 2^32. NOT carry-propagated.
 
-    Built as La shift-padded rows summed with one reduction — no dynamic
-    update slices (hostile to compile time) and no (batch, La, Lb) outer
-    product (hostile to HBM: its tile padding is 5.3x for L=24)."""
+    One (La, Lb, ...) outer product + two shear-sums. In limb-major layout
+    the (La, Lb) axes are LEADING, so the TPU tile (last two dims) is pure
+    batch — no tile-padding blowup — and the whole convolution is ~15 HLO
+    ops regardless of limb count (compile time on XLA is superlinear in op
+    count; the earlier per-row concat/pad build made one point-add graph
+    cost minutes of XLA:CPU compile)."""
     La, Lb = a.shape[0], b.shape[0]
     tail = np.broadcast_shapes(a.shape[1:], b.shape[1:])
-    zero_tail = jnp.zeros((1,) + tail, jnp.uint32)
-    rows = []
-    for i in range(La):
-        p = a[i][None] * jnp.broadcast_to(b, (Lb,) + tail)  # exact in uint32
-        lo = p & MASK
-        hi = p >> SHIFT
-        # combined row: lo at offset i, hi at offset i+1 (length Lb+1)
-        row = jnp.concatenate([lo, zero_tail], 0) + jnp.concatenate(
-            [zero_tail, hi], 0
+    p = a[:, None] * jnp.broadcast_to(b[None], (La, Lb) + tail)  # < 2^32
+    cols = _shear_sum(p & MASK, 0, out_cols)
+    cols = cols + _shear_sum(p >> SHIFT, 1, out_cols)
+    return cols
+
+
+# Carry/borrow resolution. The recurrence c_{i+1} = g_i | (p_i & c_i) is
+# EXACTLY the internal carry chain of the integer addition A + B with
+# A = g|p, B = g (per-bit: maj(g|p, g, c) = g | (p & c), and g & p = 0
+# for both carries and borrows here). So: pack the per-limb g/p flags into
+# one uint32 word per batch element, do ONE integer add, and read the
+# resolved carries back out of A ^ B ^ S. This replaces a log(L)-round
+# Kogge-Stone boolean network built from slice/concat ops — the op class
+# that dominated compile time (XLA compile is superlinear in graph size).
+_CHUNK = 24  # bits packed per word; must stay < 32 incl. carry-out
+
+
+def _resolve_carries(g: jnp.ndarray, p: jnp.ndarray):
+    """g, p: (L, ...) uint32 in {0,1}. Returns (carry-in per limb (L, ...)
+    uint32 in {0,1} with c_0 = 0, final carry-out (...,) uint32)."""
+    L = g.shape[0]
+    tail = g.shape[1:]
+    cout = jnp.zeros(tail, jnp.uint32)
+    outs = []
+    for s in range(0, L, _CHUNK):
+        n = min(s + _CHUNK, L) - s
+        iota = jnp.asarray(np.arange(n), jnp.uint32).reshape(
+            (n,) + (1,) * len(tail)
         )
-        row = row[: out_cols - i]  # clip anything past the output window
-        pre, post = i, out_cols - i - row.shape[0]
-        rows.append(jnp.pad(row, [(pre, post)] + [(0, 0)] * len(tail)))
-    acc = jnp.stack(rows, 0)
-    return acc.sum(axis=0, dtype=jnp.uint32)
+        gw = (g[s : s + n] << iota).sum(axis=0, dtype=jnp.uint32)
+        pw = (p[s : s + n] << iota).sum(axis=0, dtype=jnp.uint32)
+        a_w = gw | pw
+        s_w = a_w + gw + cout
+        c_w = a_w ^ gw ^ s_w  # bit i = carry INTO limb s+i; bit n = out
+        outs.append((c_w[None] >> iota) & jnp.uint32(1))
+        cout = (c_w >> np.uint32(n)) & jnp.uint32(1)
+    cin = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    return cin, cout
 
 
 def _carry_sweep_lm(cols: jnp.ndarray, out_limbs: int) -> jnp.ndarray:
-    """Limb-major carry propagation (same algorithm as _carry_sweep)."""
+    """Limb-major carry propagation: uncarried columns (< 2^23 each) ->
+    canonical 16-bit limbs, truncated/padded to out_limbs."""
     k_in = cols.shape[0]
     if k_in < out_limbs:
         cols = jnp.concatenate(
@@ -175,34 +237,22 @@ def _carry_sweep_lm(cols: jnp.ndarray, out_limbs: int) -> jnp.ndarray:
         )
     elif k_in > out_limbs:
         cols = cols[:out_limbs]
+    # one ripple round: y < 2^16 + 2^7, so per-limb generate is 0/1
     y = (cols & MASK) + _shift_up_lm(cols >> SHIFT, 1)
     g = (y >> SHIFT).astype(jnp.uint32)
-    p = (y & MASK) == MASK
-    G, P = g != 0, p
-    d = 1
-    while d < out_limbs:
-        G = G | (P & _shift_up_lm(G, d))
-        P = P & _shift_up_lm(P, d)
-        d *= 2
-    cin = _shift_up_lm(G, 1).astype(jnp.uint32)
+    p = ((y & MASK) == MASK).astype(jnp.uint32)
+    cin, _ = _resolve_carries(g, p)
     return (y + cin) & MASK
 
 
 def _sub_limbs_lm(a: jnp.ndarray, b: jnp.ndarray):
     """a - b limb-major; returns (diff, borrow (...,) uint32 0/1)."""
-    L = a.shape[0]
     a, b = jnp.broadcast_arrays(a, b)
-    g = a < b
-    p = a == b
-    G, P = g, p
-    d = 1
-    while d < L:
-        G = G | (P & _shift_up_lm(G, d))
-        P = P & _shift_up_lm(P, d)
-        d *= 2
-    bin_ = _shift_up_lm(G, 1).astype(jnp.uint32)
+    g = (a < b).astype(jnp.uint32)
+    p = (a == b).astype(jnp.uint32)
+    bin_, bout = _resolve_carries(g, p)
     diff = (a - b - bin_) & MASK
-    return diff, G[L - 1].astype(jnp.uint32)
+    return diff, bout
 
 
 def _const_lm(limbs: np.ndarray, ndim_tail: int) -> jnp.ndarray:
@@ -277,6 +327,38 @@ def mul(a, b, spec: FieldSpec):
 
 def sqr(a, spec: FieldSpec):
     return mul(a, a, spec)
+
+
+def _stack_pairs(pairs):
+    """Broadcast each (a, b) pair to a common shape and stack along a new
+    leading axis -> (stacked_a, stacked_b, k)."""
+    common = ()
+    for a, b in pairs:
+        common = np.broadcast_shapes(common, a.shape, b.shape)
+    sa = jnp.stack([jnp.broadcast_to(a, common) for a, _ in pairs])
+    sb = jnp.stack([jnp.broadcast_to(b, common) for _, b in pairs])
+    return sa, sb, len(pairs)
+
+
+def mul_many(pairs, spec: FieldSpec):
+    """k independent products as ONE stacked mul. XLA compile time is
+    superlinear in graph size, so the curve formulas issue their
+    independent multiplies through this (12 mul graphs -> 2)."""
+    sa, sb, k = _stack_pairs(pairs)
+    out = mul(sa, sb, spec)
+    return [out[i] for i in range(k)]
+
+
+def add_many(pairs, spec: FieldSpec):
+    sa, sb, k = _stack_pairs(pairs)
+    out = add(sa, sb, spec)
+    return [out[i] for i in range(k)]
+
+
+def sub_many(pairs, spec: FieldSpec):
+    sa, sb, k = _stack_pairs(pairs)
+    out = sub(sa, sb, spec)
+    return [out[i] for i in range(k)]
 
 
 def mul_small(a, k: int, spec: FieldSpec):

@@ -92,18 +92,24 @@ def _accumulate_buckets(
 
 
 @partial(jax.jit, static_argnums=0)
-def _lane_fold(group: GroupOps, buckets: Jacobian) -> Jacobian:
-    """One tree-reduction round over the leading (lane) axis."""
-    k = buckets.x.shape[0]
-    half = k // 2
-    bot = jax.tree.map(lambda a: a[:half], buckets)
-    top = jax.tree.map(lambda a: a[half : 2 * half], buckets)
-    merged = group.add(bot, top)
-    if k % 2:
-        merged = jax.tree.map(
-            lambda m, b: jnp.concatenate([m, b[2 * half :]], 0), merged, buckets
-        )
-    return merged
+def _fold_lanes(group: GroupOps, buckets: Jacobian) -> Jacobian:
+    """Reduce the leading (lane) axis to nothing: (K, W, B) -> (W, B).
+
+    A lax.scan of K-1 batched adds — same total group work as a tree fold
+    (the W*B batch already saturates the vector units), but the add body
+    compiles ONCE at the (W, B) shape instead of log2(K) tree rounds each
+    compiling at a different shape (XLA compile time dominates the CPU
+    test/dryrun path)."""
+    if buckets.x.shape[0] == 1:
+        return jax.tree.map(lambda a: a[0], buckets)
+    init = jax.tree.map(lambda a: a[0], buckets)
+    rest = jax.tree.map(lambda a: a[1:], buckets)
+
+    def step(acc, cur):
+        return group.add(acc, Jacobian(*cur)), None
+
+    acc, _ = jax.lax.scan(step, init, tuple(rest))
+    return acc
 
 
 @partial(jax.jit, static_argnums=0)
@@ -132,8 +138,10 @@ def _window_combine(group: GroupOps, totals: Jacobian, c: int) -> Jacobian:
     W = totals.x.shape[0]
 
     def window_step(res, w_rev):
-        for _ in range(c):
-            res = group.double(res)
+        # inner scan: the double body compiles once, not c times
+        res, _ = jax.lax.scan(
+            lambda r, _: (group.double(r), None), res, None, length=c
+        )
         cur = jax.tree.map(lambda a: a[w_rev], totals)
         return group.add(res, Jacobian(*cur)), None
 
@@ -194,9 +202,7 @@ def msm(
     pdig = digs.reshape(K, steps, W)
 
     buckets = _accumulate_buckets(group, pts, pdig, c)
-    while buckets.x.shape[0] > 1:
-        buckets = _lane_fold(group, buckets)
-    buckets = jax.tree.map(lambda a: a[0], buckets)  # (W, B, ...)
+    buckets = _fold_lanes(group, buckets)  # (W, B, ...)
     totals = _bucket_weighted_sum(group, buckets)
     return _window_combine(group, totals, c)
 

@@ -37,21 +37,48 @@ def shard_leading(arr, mesh: Mesh, axis: str = "shard"):
     return jax.device_put(arr, NamedSharding(mesh, spec))
 
 
+@partial(jax.jit, static_argnums=(0, 2))
+def _fold_local_lanes(group: GroupOps, buckets, ndev: int):
+    """(K, W, B) bucket grids, K sharded over ndev devices -> (ndev, W, B).
+
+    Reshapes the sharded lane axis to (ndev, lanes_per_device) — the outer
+    axis keeps the sharding, so the scan over the inner axis is
+    communication-free on every device (GSPMD partitions it trivially)."""
+    K = buckets.x.shape[0]
+    lpd = K // ndev
+
+    def split(a):
+        return jnp.moveaxis(a.reshape((ndev, lpd) + a.shape[1:]), 1, 0)
+
+    per = jax.tree.map(split, buckets)  # (lpd, ndev, W, B)
+    init = jax.tree.map(lambda a: a[0], per)
+    rest = jax.tree.map(lambda a: a[1:], per)
+
+    def step(acc, cur):
+        return group.add(acc, Jacobian(*cur)), None
+
+    if lpd == 1:
+        return init
+    acc, _ = jax.lax.scan(step, init, tuple(rest))
+    return acc
+
+
 def msm_sharded(
     group: GroupOps,
     points: Affine,
     scalars_std: jnp.ndarray,
     mesh: Mesh,
-    c: int = 8,
-    lanes_per_device: int = 16,
+    c: int = 4,
+    lanes_per_device: int = 8,
     axis: str = "shard",
 ) -> Jacobian:
     """MSM with points/scalars sharded over the mesh's lane axis.
 
     Reuses the exact single-chip phase kernels (msm/pippenger.py): inputs
     are laid out lane-major with the lane axis sharded, so the bucket scan
-    runs communication-free per device and the lane-fold tree becomes the
-    cross-device reduction.
+    runs communication-free per device; lanes then fold locally on each
+    device (communication-free scan) and the final ndev partial grids
+    tree-reduce across the mesh (GSPMD collectives over ICI).
     """
     ndev = mesh.devices.size
     K = lanes_per_device * ndev
@@ -84,8 +111,7 @@ def msm_sharded(
     pdig = shard_leading(digs.reshape(K, steps, W), mesh, axis)
 
     buckets = pippenger._accumulate_buckets(group, pts, pdig, c)
-    while buckets.x.shape[0] > 1:
-        buckets = pippenger._lane_fold(group, buckets)
-    buckets = jax.tree.map(lambda a: a[0], buckets)
+    buckets = _fold_local_lanes(group, buckets, ndev)  # (ndev, W, B)
+    buckets = pippenger._fold_lanes(group, buckets)  # cross-device
     totals = pippenger._bucket_weighted_sum(group, buckets)
     return pippenger._window_combine(group, totals, c)
