@@ -14,6 +14,7 @@ Exact reference conventions preserved:
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -40,35 +41,52 @@ def commit_poly(
     srs: SRS,
     maxm: int,
     f: Laurent,
-    check_hole: bool = False,
+    check_hole: bool = True,
     lanes: int | None = None,
+    mesh=None,
 ) -> Jacobian:
     """Commit(info, max, f(X)) -> F  (CommitmentScheme.hs:20-33).
 
     MSM of f's coefficients against g^{alpha x^{d-max+e}} table rows.
     `lanes` overrides the Pippenger lane count (compile-size knob).
+
+    The merged tables hold exponents in [-d, d]; anything outside raises
+    IndexError with the reference's panic semantics
+    (CommitmentScheme.hs:70-73). A NONZERO coefficient at the shifted X^0
+    slot is the reference's `index (-1)` panic on gNegativeAlphaX
+    (g^alpha is deliberately absent, SRS.hs:38-39) — checked host-side by
+    default; skipped when the coefficients are tracers (inside jit the
+    value is unknowable at trace time; the e=0 table row is the point at
+    infinity, so a zero coefficient stays harmless).
     """
     diff = srs.d - maxm
     lo = f.offset + diff  # lowest shifted exponent
     hi = lo + f.length - 1
-    if lo + srs.d < 0 or hi > 2 * srs.d:
+    if lo < -srs.d or hi > srs.d:
         raise IndexError(
             f"commitPoly: exponent range [{lo}, {hi}] outside SRS (d={srs.d})"
         )
-    if check_hole and 0 >= lo and 0 <= hi:
+    if check_hole and lo <= 0 <= hi:
         c0 = f.coeffs[-lo]
-        if not bool(np.all(np.asarray(c0) == 0)):
+        if not isinstance(c0, jax.core.Tracer) and not bool(
+            np.all(np.asarray(c0) == 0)
+        ):
             raise IndexError(
                 "commitPoly: nonzero coefficient at alpha*x^0 (g^alpha is "
                 "not in the SRS)"
             )
     pts = _slice_table(srs.g_ax, lo + srs.d, f.length)
     scalars = limb.from_mont(f.coeffs, FR)
+    if mesh is not None:
+        from .parallel.mesh import msm_sharded
+
+        kw = {} if lanes is None else {"lanes_per_device": lanes}
+        return msm_sharded(g1, pts, scalars, mesh, **kw)
     kw = {} if lanes is None else {"lanes": lanes}
     return msm(g1, pts, scalars, **kw)
 
 
-def open_poly(srs: SRS, z, f: Laurent, lanes: int | None = None):
+def open_poly(srs: SRS, z, f: Laurent, lanes: int | None = None, mesh=None):
     """Open(info, F, z, f(X)) -> (f(z), W)  (CommitmentScheme.hs:36-48).
 
     z: Fr element (Montgomery limbs). Returns (f(z) Montgomery limbs,
@@ -77,14 +95,87 @@ def open_poly(srs: SRS, z, f: Laurent, lanes: int | None = None):
     fz, w = div_by_linear(f, z)
     lo = w.offset
     hi = lo + w.length - 1
-    if lo + srs.d < 0 or hi > 2 * srs.d:
+    if lo < -srs.d or hi > srs.d:
         raise IndexError(
             f"openPoly: exponent range [{lo}, {hi}] outside SRS (d={srs.d})"
         )
     pts = _slice_table(srs.g_x, lo + srs.d, w.length)
     scalars = limb.from_mont(w.coeffs, FR)
+    if mesh is not None:
+        from .parallel.mesh import msm_sharded
+
+        kw = {} if lanes is None else {"lanes_per_device": lanes}
+        return fz, msm_sharded(g1, pts, scalars, mesh, **kw)
     kw = {} if lanes is None else {"lanes": lanes}
     return fz, msm(g1, pts, scalars, **kw)
+
+
+def commit_poly_batched(
+    srs: SRS,
+    maxm: int,
+    offset: int,
+    coeffs: jnp.ndarray,
+    check_hole: bool = True,
+    lanes: int | None = None,
+    mesh=None,
+) -> Jacobian:
+    """M commitments sharing one exponent span: coeffs (M, D, L) Montgomery
+    at a common Laurent `offset` -> Jacobian batch (M,).
+
+    The hsc helper commits m shape-identical s(X, y_j) polynomials
+    (Signature.hs:40-45); they all hit the SAME SRS table slice, so the
+    whole batch is ONE vmapped Pippenger pipeline (msm_batched)."""
+    from .msm.pippenger import msm_batched
+
+    diff = srs.d - maxm
+    lo = offset + diff
+    hi = lo + coeffs.shape[1] - 1
+    if lo < -srs.d or hi > srs.d:
+        raise IndexError(
+            f"commitPoly: exponent range [{lo}, {hi}] outside SRS (d={srs.d})"
+        )
+    if check_hole and lo <= 0 <= hi:
+        c0 = coeffs[:, -lo]
+        if not isinstance(c0, jax.core.Tracer) and not bool(
+            np.all(np.asarray(c0) == 0)
+        ):
+            raise IndexError(
+                "commitPoly: nonzero coefficient at alpha*x^0 (g^alpha is "
+                "not in the SRS)"
+            )
+    pts = _slice_table(srs.g_ax, lo + srs.d, coeffs.shape[1])
+    scalars = limb.from_mont(coeffs, FR)
+    kw = {} if lanes is None else {"lanes": lanes}
+    return msm_batched(g1, pts, scalars, mesh=mesh, **kw)
+
+
+def open_poly_batched(
+    srs: SRS,
+    zs: jnp.ndarray,
+    offset: int,
+    coeffs: jnp.ndarray,
+    lanes: int | None = None,
+    mesh=None,
+):
+    """M openings sharing one exponent span: coeffs (M, D, L) at `offset`,
+    zs (M, L) Montgomery -> (fz (M, L), W Jacobian batch (M,)).
+
+    Covers all three hsc opening families (each is shape-uniform across j:
+    s(X,y_j) at z_j, s(X,y_j) at u, s(u,Y) at y_j — Signature.hs:46-57)."""
+    from .msm.pippenger import msm_batched
+    from .poly.laurent import div_by_linear_batched
+
+    fz, w = div_by_linear_batched(offset, coeffs, zs)
+    lo = offset
+    hi = lo + w.shape[1] - 1
+    if lo < -srs.d or hi > srs.d:
+        raise IndexError(
+            f"openPoly: exponent range [{lo}, {hi}] outside SRS (d={srs.d})"
+        )
+    pts = _slice_table(srs.g_x, lo + srs.d, w.shape[1])
+    scalars = limb.from_mont(w, FR)
+    kw = {} if lanes is None else {"lanes": lanes}
+    return fz, msm_batched(g1, pts, scalars, mesh=mesh, **kw)
 
 
 def pcv(srs: SRS, maxm: int, commitment, z: int, v: int, w) -> bool:
@@ -111,3 +202,19 @@ def jacobian_to_host(p: Jacobian):
     from .fields.limb import FQ
 
     return (int(FQ.to_int(aff.x)), int(FQ.to_int(aff.y)))
+
+
+def jacobians_to_host(p: Jacobian) -> list:
+    """Batched device Jacobian (leading axis M) -> list of host affine
+    tuples (None for infinity). One batched to_affine (one batch_inv)
+    instead of M separate conversions."""
+    aff = g1.to_affine(p)
+    from .fields.limb import FQ
+
+    xs = np.atleast_1d(FQ.to_int(aff.x))
+    ys = np.atleast_1d(FQ.to_int(aff.y))
+    infs = np.asarray(aff.inf)
+    return [
+        None if infs[i] else (int(xs[i]), int(ys[i]))
+        for i in range(infs.shape[0])
+    ]

@@ -149,6 +149,16 @@ def s_at_y(circuit: DeviceCircuit, y) -> Laurent:
     return Laurent(-n, coeffs)
 
 
+def s_at_y_batched(circuit: DeviceCircuit, ys: jnp.ndarray) -> jnp.ndarray:
+    """s(X, y_j) for ys (M, L) -> coefficient batch (M, 3n+1, L) at the
+    common offset -n. One vmapped build for the hsc helper's m polynomials
+    (Signature.hs:40-45 — identical shape across j)."""
+    n, q = circuit.n, circuit.q
+    return jax.vmap(
+        lambda y: _s_at_y_coeffs(circuit.wL, circuit.wR, circuit.wO, y, n, q)
+    )(ys)
+
+
 @partial(jax.jit, static_argnames=("n", "q"))
 def _s_u_coeffs(wL, wR, wO, u, n: int, q: int):
     upows = limb.powers(u, FR, 2 * n + 1)  # u^0..u^2n

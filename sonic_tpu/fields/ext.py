@@ -91,15 +91,7 @@ def mul_b3(a):
     return limb.mul_small(m, 12, FQ)
 
 
-def _stack_pairs(pairs):
-    import numpy as np
-
-    common = ()
-    for a, b in pairs:
-        common = np.broadcast_shapes(common, a.shape, b.shape)
-    sa = jnp.stack([jnp.broadcast_to(a, common) for a, _ in pairs])
-    sb = jnp.stack([jnp.broadcast_to(b, common) for _, b in pairs])
-    return sa, sb, len(pairs)
+_stack_pairs = limb._stack_pairs
 
 
 def mul_many(pairs):

@@ -332,7 +332,10 @@ def mul(a, b, spec: FieldSpec):
     for d in a.shape[:-1]:
         flat *= d
     if pallas_mul.wants_pallas(flat):
-        return pallas_mul.mont_mul(a, b, spec)
+        # Off-TPU the kernel only runs under the Pallas interpreter (the
+        # SONIC_TPU_PALLAS=1 debugging path); on TPU it compiles natively.
+        interpret = jax.default_backend() != "tpu"
+        return pallas_mul.mont_mul(a, b, spec, interpret=interpret)
     return _from_lm(_mul_lm(_to_lm(a), _to_lm(b), spec))
 
 

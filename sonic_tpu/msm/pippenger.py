@@ -32,52 +32,121 @@ import numpy as np
 from ..curve.group import GroupOps, Jacobian, Affine, g1, g2
 from ..fields import constants as C
 
-# Window size (bits) and lane count. c must divide LIMB_BITS.
+# Window size (bits) and lane count. 1 <= c <= 16.
 DEFAULT_C = 8
 DEFAULT_LANES = 64
 
 
+def _pick_c(n: int) -> int:
+    """Window size policy (signed digits). Scan-phase work is ~N*W mixed
+    adds with W ~= 256/c + 1, so larger c wins once N amortizes the
+    2^(c-1) buckets' weighted-sum scan + HBM footprint."""
+    if n <= 256:
+        return 4
+    if n <= 4096:
+        return 7
+    if n <= 1 << 15:
+        return 9
+    return 10
+
+
 def _digits(scalars_std: jnp.ndarray, c: int) -> jnp.ndarray:
-    """(N, FR_LIMBS) standard-form limbs -> (N, W) c-bit digits, little-endian
-    windows. c must divide the 16-bit limb size."""
-    assert C.LIMB_BITS % c == 0
-    per_limb = C.LIMB_BITS // c
+    """(..., L) standard-form 16-bit limbs -> (..., W) c-bit digits,
+    little-endian windows, W = ceil(16L / c). Any 1 <= c <= 16 (digits may
+    straddle limb boundaries)."""
+    assert 1 <= c <= C.LIMB_BITS
+    L = scalars_std.shape[-1]
+    total_bits = L * C.LIMB_BITS
+    W = (total_bits + c - 1) // c
     mask = np.uint32((1 << c) - 1)
-    parts = [(scalars_std >> np.uint32(c * i)) & mask for i in range(per_limb)]
-    stacked = jnp.stack(parts, axis=-1)  # (N, L, per_limb)
-    return stacked.reshape(scalars_std.shape[:-1] + (-1,)).astype(jnp.int32)
+    cols = []
+    for j in range(W):
+        li, off = divmod(j * c, C.LIMB_BITS)
+        v = scalars_std[..., li] >> np.uint32(off)
+        if off + c > C.LIMB_BITS and li + 1 < L:
+            v = v | (scalars_std[..., li + 1] << np.uint32(C.LIMB_BITS - off))
+        cols.append(v & mask)
+    return jnp.stack(cols, axis=-1).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnums=(0, 3))
+def _signed_digits(scalars_std: jnp.ndarray, c: int) -> jnp.ndarray:
+    """(..., L) limbs -> (..., W+1) signed digits in (-2^(c-1), 2^(c-1)].
+
+    Standard signed-window recoding: digit v > 2^(c-1) becomes v - 2^c
+    with a carry into the next window; the final carry gets its own
+    top window. Halves the bucket count (index = |digit|, sign folds into
+    a point negation — negating an affine point is just y -> -y)."""
+    d = _digits(scalars_std, c)
+    half = 1 << (c - 1)
+    full = 1 << c
+    W = d.shape[-1]
+    outs = []
+    carry = jnp.zeros(d.shape[:-1], jnp.int32)
+    for j in range(W):
+        v = d[..., j] + carry
+        flip = v > half
+        outs.append(jnp.where(flip, v - full, v))
+        carry = flip.astype(jnp.int32)
+    outs.append(carry)
+    return jnp.stack(outs, axis=-1)
+
+
+def _prep_digits(scalars_std: jnp.ndarray, c: int, signed: bool):
+    """-> (digits, nbuckets). Signed: buckets index |digit| in [0, 2^(c-1)];
+    unsigned: [0, 2^c). Bucket 0 is trash either way."""
+    if signed:
+        return _signed_digits(scalars_std, c), (1 << (c - 1)) + 1
+    return _digits(scalars_std, c), 1 << c
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4))
 def _accumulate_buckets(
-    group: GroupOps, points: Affine, digits: jnp.ndarray, c: int
+    group: GroupOps,
+    points: Affine,
+    digits: jnp.ndarray,
+    nbuckets: int,
+    signed: bool = False,
 ) -> Jacobian:
     """Scan phase: points (K, T, ...), digits (K, T, W) -> buckets
-    (K, W, 2^c) Jacobian. Digit 0 lands in a trash bucket (never read)."""
+    (K, W, nbuckets) Jacobian. Digit 0 lands in a trash bucket (never
+    read). Signed digits index |digit| and add -P (y negated) when the
+    digit is negative."""
     K, T = digits.shape[0], digits.shape[1]
     W = digits.shape[2]
-    nbuckets = 1 << c
     buckets = group.infinity((K, W, nbuckets))
     k_idx = jnp.arange(K)[:, None]
     w_idx = jnp.arange(W)[None, :]
 
     def step(buckets, xs):
         x_t, y_t, inf_t, dig_t = xs  # (K, ...), (K,), (K, W)
+        if signed:
+            bidx = jnp.abs(dig_t)
+            y_b = jnp.broadcast_to(
+                y_t[:, None], (K, W) + y_t.shape[1:]
+            )
+            y_use = group.F.select(
+                dig_t < 0,
+                jnp.broadcast_to(group.F.neg(y_t)[:, None], y_b.shape),
+                y_b,
+            )
+        else:
+            bidx = dig_t
+            y_use = y_t[:, None]
         cur = Jacobian(
-            buckets.x[k_idx, w_idx, dig_t],
-            buckets.y[k_idx, w_idx, dig_t],
-            buckets.z[k_idx, w_idx, dig_t],
+            buckets.x[k_idx, w_idx, bidx],
+            buckets.y[k_idx, w_idx, bidx],
+            buckets.z[k_idx, w_idx, bidx],
         )
         q = Affine(
             x_t[:, None],
-            y_t[:, None],
+            y_use,
             jnp.broadcast_to(inf_t[:, None], (K, W)),
         )
         new = group.add_mixed(cur, q)
         buckets = Jacobian(
-            buckets.x.at[k_idx, w_idx, dig_t].set(new.x),
-            buckets.y.at[k_idx, w_idx, dig_t].set(new.y),
-            buckets.z.at[k_idx, w_idx, dig_t].set(new.z),
+            buckets.x.at[k_idx, w_idx, bidx].set(new.x),
+            buckets.y.at[k_idx, w_idx, bidx].set(new.y),
+            buckets.z.at[k_idx, w_idx, bidx].set(new.z),
         )
         return buckets, None
 
@@ -151,12 +220,36 @@ def _window_combine(group: GroupOps, totals: Jacobian, c: int) -> Jacobian:
     return res
 
 
+def _pad_pow2_points(points: Affine, scalars_std: jnp.ndarray, scalar_axis=0):
+    """Pad point/scalar count N to a power of two. Zero scalars contribute
+    nothing (digit-0 trash bucket) and infinity points are absorbed by
+    add_mixed, while the compiled phase programs get reused across the
+    protocol's many different commit/open sizes."""
+    n = points.x.shape[0]
+    n_pad = 1
+    while n_pad < n:
+        n_pad *= 2
+    pad = n_pad - n
+    if pad:
+        zero_limbs = jnp.zeros((pad,) + points.x.shape[1:], jnp.uint32)
+        points = Affine(
+            jnp.concatenate([points.x, zero_limbs], 0),
+            jnp.concatenate([points.y, zero_limbs], 0),
+            jnp.concatenate([points.inf, jnp.ones((pad,), bool)], 0),
+        )
+        widths = [(0, 0)] * scalars_std.ndim
+        widths[scalar_axis] = (0, pad)
+        scalars_std = jnp.pad(scalars_std, widths)
+    return points, scalars_std, n_pad
+
+
 def msm(
     group: GroupOps,
     points: Affine,
     scalars_std: jnp.ndarray,
     c: int | None = None,
     lanes: int = DEFAULT_LANES,
+    signed: bool = True,
 ) -> Jacobian:
     """Sum_i scalars[i] * points[i].
 
@@ -167,31 +260,12 @@ def msm(
     """
     n = scalars_std.shape[0]
     if c is None:
-        # small MSMs: fewer buckets (short weighted-sum scan) wins; the
-        # extra windows cost little at these sizes.
-        c = 4 if n <= 1024 else DEFAULT_C
-    # Pad N to a power of two: zero scalars contribute nothing (digit-0
-    # trash bucket) and infinity points are absorbed by add_mixed, while
-    # the compiled phase programs get reused across the protocol's many
-    # different commit/open sizes.
-    n_pad = 1
-    while n_pad < n:
-        n_pad *= 2
+        c = _pick_c(n)
+    points, scalars_std, n_pad = _pad_pow2_points(points, scalars_std)
     K = min(lanes, max(1, n_pad))
-    pad = n_pad - n
-    if pad:
-        zero_limbs = jnp.zeros((pad,) + points.x.shape[1:], jnp.uint32)
-        points = Affine(
-            jnp.concatenate([points.x, zero_limbs], 0),
-            jnp.concatenate([points.y, zero_limbs], 0),
-            jnp.concatenate([points.inf, jnp.ones((pad,), bool)], 0),
-        )
-        scalars_std = jnp.concatenate(
-            [scalars_std, jnp.zeros((pad, scalars_std.shape[1]), jnp.uint32)], 0
-        )
-    steps = (n + pad) // K
+    steps = n_pad // K
 
-    digs = _digits(scalars_std, c)  # (N', W)
+    digs, nbuckets = _prep_digits(scalars_std, c, signed)  # (N', W)
     W = digs.shape[-1]
     coord_tail = points.x.shape[1:]
     pts = Affine(
@@ -201,10 +275,70 @@ def msm(
     )
     pdig = digs.reshape(K, steps, W)
 
-    buckets = _accumulate_buckets(group, pts, pdig, c)
+    buckets = _accumulate_buckets(group, pts, pdig, nbuckets, signed)
     buckets = _fold_lanes(group, buckets)  # (W, B, ...)
     totals = _bucket_weighted_sum(group, buckets)
     return _window_combine(group, totals, c)
+
+
+def msm_batched(
+    group: GroupOps,
+    points: Affine,
+    scalars_std: jnp.ndarray,
+    c: int | None = None,
+    lanes: int = DEFAULT_LANES,
+    signed: bool = True,
+    mesh=None,
+) -> Jacobian:
+    """M independent MSMs SHARING one point table: scalars (M, N, L) ->
+    Jacobian batch (M,).
+
+    The hsc helper's m commits/opens all target the same SRS slice
+    (Signature.hs:40-57 — embarrassingly parallel), so the whole batch
+    runs as ONE vmapped phase pipeline instead of m sequential MSMs.
+
+    With `mesh`, the M axis is the data-parallel axis: digits shard over
+    the devices (points replicated) and the whole pipeline partitions
+    communication-free (each device owns a slice of the m proofs).
+    """
+    m, n = scalars_std.shape[0], scalars_std.shape[1]
+    if c is None:
+        c = _pick_c(n)
+    points, scalars_std, n_pad = _pad_pow2_points(
+        points, scalars_std, scalar_axis=1
+    )
+    K = min(lanes, max(1, n_pad))
+    steps = n_pad // K
+
+    digs, nbuckets = _prep_digits(scalars_std, c, signed)  # (M, N', W)
+    W = digs.shape[-1]
+    coord_tail = points.x.shape[1:]
+    pts = Affine(
+        points.x.reshape((K, steps) + coord_tail),
+        points.y.reshape((K, steps) + coord_tail),
+        points.inf.reshape(K, steps),
+    )
+    pdig = digs.reshape(m, K, steps, W)
+    m_pad = m
+    if mesh is not None:
+        from ..parallel.mesh import shard_leading
+
+        ndev = mesh.devices.size
+        m_pad = ((m + ndev - 1) // ndev) * ndev
+        if m_pad != m:
+            # all-zero digit rows -> infinity results, sliced off below
+            pdig = jnp.pad(pdig, ((0, m_pad - m), (0, 0), (0, 0), (0, 0)))
+        pdig = shard_leading(pdig, mesh)
+
+    buckets = jax.vmap(
+        lambda d: _accumulate_buckets(group, pts, d, nbuckets, signed)
+    )(pdig)  # (M, K, W, B)
+    buckets = jax.vmap(lambda b: _fold_lanes(group, b))(buckets)  # (M, W, B)
+    totals = jax.vmap(lambda b: _bucket_weighted_sum(group, b))(buckets)
+    out = jax.vmap(lambda t: _window_combine(group, t, c))(totals)
+    if m_pad != m:
+        out = jax.tree.map(lambda a: a[:m], out)
+    return out
 
 
 def msm_g1(points, scalars_std, c=None, lanes=DEFAULT_LANES):

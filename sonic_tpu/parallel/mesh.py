@@ -68,9 +68,10 @@ def msm_sharded(
     points: Affine,
     scalars_std: jnp.ndarray,
     mesh: Mesh,
-    c: int = 4,
+    c: int | None = None,
     lanes_per_device: int = 8,
     axis: str = "shard",
+    signed: bool = True,
 ) -> Jacobian:
     """MSM with points/scalars sharded over the mesh's lane axis.
 
@@ -83,6 +84,10 @@ def msm_sharded(
     ndev = mesh.devices.size
     K = lanes_per_device * ndev
     n = scalars_std.shape[0]
+    if c is None:
+        # same window policy as pippenger.msm: small MSMs favor fewer
+        # buckets; large ones amortize the bucket scans over more points.
+        c = pippenger._pick_c(n)
     n_pad = K
     while n_pad < n:
         n_pad *= 2
@@ -99,7 +104,7 @@ def msm_sharded(
             0,
         )
     steps = n_pad // K
-    digs = pippenger._digits(scalars_std, c)
+    digs, nbuckets = pippenger._prep_digits(scalars_std, c, signed)
     W = digs.shape[-1]
     tail = points.x.shape[1:]
 
@@ -110,7 +115,7 @@ def msm_sharded(
     )
     pdig = shard_leading(digs.reshape(K, steps, W), mesh, axis)
 
-    buckets = pippenger._accumulate_buckets(group, pts, pdig, c)
+    buckets = pippenger._accumulate_buckets(group, pts, pdig, nbuckets, signed)
     buckets = _fold_local_lanes(group, buckets, ndev)  # (ndev, W, B)
     buckets = pippenger._fold_lanes(group, buckets)  # cross-device
     totals = pippenger._bucket_weighted_sum(group, buckets)

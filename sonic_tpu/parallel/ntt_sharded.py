@@ -37,14 +37,33 @@ _WN_CACHE: dict = {}
 
 
 def _wn_table(n: int, inverse: bool) -> jnp.ndarray:
-    """(N, L) Montgomery ladder of w_N^0..w_N^(N-1) (host-cached)."""
+    """(N, L) Montgomery ladder of w_N^0..w_N^(N-1) (host-cached).
+
+    Tracers are never cached (same hazard as poly/ntt._twiddles: a ladder
+    traced inside shard_map must not escape into untraced callers)."""
     key = (n, inverse)
-    if key not in _WN_CACHE:
-        w = base.root_of_unity(n.bit_length() - 1)
-        if inverse:
-            w = pow(w, -1, C.R_MOD)
-        _WN_CACHE[key] = limb.powers(FR.from_int(w), FR, n)
-    return _WN_CACHE[key]
+    cached = _WN_CACHE.get(key)
+    if cached is not None:
+        return cached
+    w = base.root_of_unity(n.bit_length() - 1)
+    if inverse:
+        w = pow(w, -1, C.R_MOD)
+    tab = limb.powers(FR.from_int(w), FR, n)
+    if not isinstance(tab, jax.core.Tracer):
+        _WN_CACHE[key] = tab
+    return tab
+
+
+def splittable(out_len: int, ndev: int) -> bool:
+    """Whether the 4-step decomposition N = R x C (N = next pow2 >=
+    out_len) admits ndev | R and ndev | C."""
+    n = 1
+    while n < out_len:
+        n *= 2
+    logn = n.bit_length() - 1
+    r = 1 << (logn // 2)
+    c = n // r
+    return r % ndev == 0 and c % ndev == 0
 
 
 def _split_rc(n: int, ndev: int) -> tuple[int, int]:

@@ -130,7 +130,20 @@ def _conv_coeffs(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 _NTT_THRESHOLD = 64 * 64
 
 
-def mul(p: Laurent, q: Laurent) -> Laurent:
+def mul(p: Laurent, q: Laurent, mesh=None) -> Laurent:
+    """Polynomial product. With `mesh`, large products run the four-step
+    mesh-sharded NTT (all-to-all butterfly exchange over the device mesh);
+    falls back to the single-device path when the transform is too small
+    to split R x C over the mesh."""
+    if mesh is not None and p.length * q.length >= _NTT_THRESHOLD:
+        from ..parallel.ntt_sharded import poly_mul_ntt_sharded, splittable
+
+        out_len = p.length + q.length - 1
+        if splittable(out_len, mesh.devices.size):
+            return Laurent(
+                p.offset + q.offset,
+                poly_mul_ntt_sharded(p.coeffs, q.coeffs, mesh),
+            )
     if p.length * q.length >= _NTT_THRESHOLD:
         from .ntt import poly_mul_ntt
 
@@ -209,3 +222,49 @@ def div_by_linear(p: Laurent, z, fz=None) -> tuple[jnp.ndarray, Laurent]:
 
 def limb_is_zero_host(x) -> bool:
     return bool(np.all(np.asarray(x) == 0))
+
+
+# ---------------------------------------------------------------------------
+# Batched variants — one polynomial family, m points/instances at once.
+# These power the hsc helper protocol, whose m openings are independent
+# (Signature.hs:40-57) and shape-identical, so they run as single vmapped
+# programs instead of m sequential dispatches.
+# ---------------------------------------------------------------------------
+
+
+def _pad_pow2_batch(coeffs: jnp.ndarray) -> jnp.ndarray:
+    """Zero-pad axis 1 of (M, D, L) to a power of two (cf. _pad_pow2)."""
+    n = coeffs.shape[1]
+    n2 = 1
+    while n2 < n:
+        n2 *= 2
+    if n2 == n:
+        return coeffs
+    return jnp.pad(coeffs, ((0, 0), (0, n2 - n), (0, 0)))
+
+
+def evaluate_batched(offset: int, coeffs: jnp.ndarray, zs: jnp.ndarray):
+    """f_j(z_j) for coeffs (M, D, L) sharing one exponent offset and
+    zs (M, L) -> (M, L)."""
+    padded = _pad_pow2_batch(coeffs)
+    return jax.vmap(lambda cf, z: _eval_jit(cf, z, offset))(padded, zs)
+
+
+def div_by_linear_batched(
+    offset: int, coeffs: jnp.ndarray, zs: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched (f_j(X) - f_j(z_j)) / (X - z_j): coeffs (M, D, L), zs (M, L)
+    -> (fz (M, L), quotient coeffs (M, D-1, L) at the same offset).
+
+    Requires X^0 inside the dense span (true for every hsc polynomial:
+    s(X, y) and s(u, Y) both span exponent 0)."""
+    const_pos = -offset
+    D = coeffs.shape[1]
+    if not (0 <= const_pos < D):
+        raise ValueError("batched division requires X^0 inside the span")
+    fz = evaluate_batched(offset, coeffs, zs)
+    chat = coeffs.at[:, const_pos].set(
+        limb.sub(coeffs[:, const_pos], fz, FR)
+    )
+    ws = jax.vmap(_div_linear_jit)(_pad_pow2_batch(chat), zs)
+    return fz, ws[:, : D - 1]

@@ -42,16 +42,27 @@ def root_of_unity(logn: int) -> int:
 
 
 def _twiddles(n: int, inverse: bool):
-    """(N/2, L) Montgomery ladder of w^0..w^(N/2-1); host-cached per size."""
+    """(N/2, L) Montgomery ladder of w^0..w^(N/2-1); host-cached per size.
+
+    Only CONCRETE arrays are cached: when this runs inside a trace (e.g.
+    the shard_map body of parallel/ntt_sharded.py), limb.powers returns a
+    tracer, and caching it would poison later untraced calls of the same
+    size (it escapes its trace). Tracing recomputes per compile; compiled
+    executions hit the constant-folded ladder, so nothing is lost.
+    """
     key = (n, inverse)
-    if key not in _TWIDDLE_CACHE:
-        logn = n.bit_length() - 1
-        w = root_of_unity(logn)
-        if inverse:
-            w = pow(w, -1, C.R_MOD)
-        w_m = FR.from_int(w)
-        _TWIDDLE_CACHE[key] = limb.powers(w_m, FR, max(n // 2, 1))
-    return _TWIDDLE_CACHE[key]
+    cached = _TWIDDLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    logn = n.bit_length() - 1
+    w = root_of_unity(logn)
+    if inverse:
+        w = pow(w, -1, C.R_MOD)
+    w_m = FR.from_int(w)
+    tw = limb.powers(w_m, FR, max(n // 2, 1))
+    if not isinstance(tw, jax.core.Tracer):
+        _TWIDDLE_CACHE[key] = tw
+    return tw
 
 
 @partial(jax.jit, static_argnames=("n", "inverse"))

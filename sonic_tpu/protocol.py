@@ -41,8 +41,17 @@ def prove(
     assignment: DeviceAssignment,
     circuit: DeviceCircuit,
     rnd: gp.Randomness,
+    mesh=None,
 ) -> tuple[gp.Proof, gp.RndOracle]:
-    """Protocol.hs:47-109 with explicit randomness; device compute."""
+    """Protocol.hs:47-109 with explicit randomness; device compute.
+
+    With `mesh`, the heavy stages distribute over the device mesh
+    (SURVEY.md §2.3 parallelism rows): commit/open MSMs shard their
+    Pippenger lane axis (cross-device bucket-grid reduction over ICI),
+    the t(X,y) product runs the four-step all-to-all NTT, and the hsc
+    helper's batched MSMs shard over the m helper instances. Proof bits
+    are identical to the single-device path.
+    """
     n = assignment.n
     if srs.d < 7 * n:
         raise ValueError(
@@ -51,7 +60,7 @@ def prove(
     # -- zkP_1: blind & commit r
     cns_m = FR.from_int(rnd.cns)
     r1 = r_x1_poly(assignment, cns_m)  # r'(X, 1)
-    commit_r = commit_poly(srs, n, r1)
+    commit_r = commit_poly(srs, n, r1, mesh=mesh)
 
     # -- zkP_2: commit t
     y_m = FR.from_int(rnd.y)
@@ -59,7 +68,7 @@ def prove(
     r_y = r_at_y(r1, y_m)  # r'(X, y)
     s_y = s_at_y(circuit, y_m)  # s(X, y)
     k_y = k_at_y(circuit, n, y_m)  # k(y) scalar
-    t_y = laurent.mul(r1, laurent.add(r_y, s_y))  # r(X,1)(r(X,y)+s(X,y))
+    t_y = laurent.mul(r1, laurent.add(r_y, s_y), mesh=mesh)
     const_idx = -t_y.offset
     t_y = Laurent(
         t_y.offset,
@@ -67,20 +76,22 @@ def prove(
             limb.sub(t_y.coeffs[const_idx], k_y, FR)
         ),
     )
-    commit_t = commit_poly(srs, srs.d, t_y)
+    commit_t = commit_poly(srs, srs.d, t_y, mesh=mesh)
 
     # -- zkP_3: openings
-    a_m, wa = open_poly(srs, z_m, r1)
+    a_m, wa = open_poly(srs, z_m, r1, mesh=mesh)
     yz_m = limb.mul(y_m, z_m, FR)
-    b_m, wb = open_poly(srs, yz_m, r1)
-    _, wt = open_poly(srs, z_m, t_y)
+    b_m, wb = open_poly(srs, yz_m, r1, mesh=mesh)
+    _, wt = open_poly(srs, z_m, t_y, mesh=mesh)
     szy_m = evaluate(s_y, z_m)
 
     # -- helper protocol
     yzs_m = [
         (FR.from_int(yi), FR.from_int(zi)) for yi, zi in zip(rnd.ys, rnd.zs)
     ]
-    hsc = hsc_prove(srs, circuit, yzs_m, FR.from_int(rnd.u), FR.from_int(rnd.v))
+    hsc = hsc_prove(
+        srs, circuit, yzs_m, FR.from_int(rnd.u), FR.from_int(rnd.v), mesh=mesh
+    )
 
     proof = gp.Proof(
         pr_r=jacobian_to_host(commit_r),

@@ -1,51 +1,82 @@
 """Helper protocol — "signatures of correct computation" (device prover).
 
 Reference: src/Sonic/Signature.hs. The m (y_j, z_j) openings are
-independent (Signature.hs:40-57) — here each s(X, y_j) is constructed with
-the fused builder and committed/opened via MSM; batching across j is at the
-Python level per commit (the MSMs themselves are the parallel units).
+independent and shape-identical (Signature.hs:40-57 is a pure `<$>` over
+yzs), so the whole helper runs as a handful of BATCHED device pipelines:
+one vmapped s(X, y_j) build, one batched commit MSM, and three batched
+opening MSMs — sublinear dispatch count in m, versus 4m+2 sequential
+MSMs for a loop-per-j prover (SURVEY.md §2.3, batch-parallel proving).
 """
 from __future__ import annotations
 
 import dataclasses
 
-from .constraints import DeviceCircuit, s_at_y, s_at_u_of_y
-from .commitment import commit_poly, open_poly, jacobian_to_host, pcv
+import jax.numpy as jnp
+
+from .constraints import DeviceCircuit, s_at_y, s_at_y_batched, s_at_u_of_y
+from .commitment import (
+    commit_poly,
+    commit_poly_batched,
+    open_poly,
+    open_poly_batched,
+    jacobian_to_host,
+    jacobians_to_host,
+    pcv,
+)
 from .poly.laurent import evaluate
 from .fields.limb import FR
 from .srs import SRS
 from . import golden_protocol as gp
 
 
-def hsc_prove(srs: SRS, circuit: DeviceCircuit, yzs_m, u_m, v_m) -> gp.HscProof:
+def hsc_prove(
+    srs: SRS, circuit: DeviceCircuit, yzs_m, u_m, v_m, mesh=None
+) -> gp.HscProof:
     """hscProve (Signature.hs:32-72). yzs_m: list of (y, z) Montgomery limb
-    pairs; u_m, v_m: Montgomery limbs. Returns a host-form HscProof."""
-    ss = []
-    s_polys = []
-    for y_m, z_m in yzs_m:
-        s_y = s_at_y(circuit, y_m)
-        s_polys.append(s_y)
-        cm = commit_poly(srs, srs.d, s_y)
-        fz, w = open_poly(srs, z_m, s_y)
-        ss.append(
-            (
-                jacobian_to_host(cm),
-                (int(FR.to_int(fz)), jacobian_to_host(w)),
-            )
+    pairs; u_m, v_m: Montgomery limbs. Returns a host-form HscProof.
+
+    With `mesh`, the batched commit/opening MSMs data-parallelize over the
+    m helper instances (msm_batched's M axis shards across devices)."""
+    n = circuit.n
+    m = len(yzs_m)
+    if m == 0:
+        su_y = s_at_u_of_y(circuit, u_m)
+        c = commit_poly(srs, srs.d, su_y)
+        _, qv = open_poly(srs, v_m, su_y)
+        return gp.HscProof(
+            hsc_s=[], hsc_w=[], hsc_qv=jacobian_to_host(qv),
+            hsc_c=jacobian_to_host(c),
+            hsc_u=int(FR.to_int(u_m)), hsc_v=int(FR.to_int(v_m)),
         )
+    ys = jnp.stack([y for y, _ in yzs_m])  # (m, L)
+    zs = jnp.stack([z for _, z in yzs_m])
+
+    # s(X, y_j) for all j — one vmapped build; all rows share offset -n.
+    s_coeffs = s_at_y_batched(circuit, ys)  # (m, 3n+1, L)
+
+    # Commitments S_j and openings s_j = s(z_j, y_j)  (Signature.hs:40-47)
+    cms = jacobians_to_host(
+        commit_poly_batched(srs, srs.d, -n, s_coeffs, mesh=mesh)
+    )
+    fzs, ws = open_poly_batched(srs, zs, -n, s_coeffs, mesh=mesh)
+    ws_host = jacobians_to_host(ws)
+    fzs_int = [int(v) for v in FR.to_int(fzs)]
+    ss = [
+        (cms[j], (fzs_int[j], ws_host[j])) for j in range(m)
+    ]
+
+    # C = commit s(u, Y); openings at u (per j), y_j (per j), v (once)
     su_y = s_at_u_of_y(circuit, u_m)
     c = commit_poly(srs, srs.d, su_y)
-    sw = []
-    for (y_m, _z_m), s_y in zip(yzs_m, s_polys):
-        _, wj2 = open_poly(srs, u_m, s_y)
-        sj2, qj = open_poly(srs, y_m, su_y)
-        sw.append(
-            (
-                int(FR.to_int(sj2)),
-                jacobian_to_host(wj2),
-                jacobian_to_host(qj),
-            )
-        )
+    us = jnp.broadcast_to(u_m, ys.shape)
+    _, w2 = open_poly_batched(srs, us, -n, s_coeffs, mesh=mesh)
+    su_b = jnp.broadcast_to(su_y.coeffs[None], (m,) + su_y.coeffs.shape)
+    s2, qs = open_poly_batched(srs, ys, su_y.offset, su_b, mesh=mesh)
+    w2_host = jacobians_to_host(w2)
+    qs_host = jacobians_to_host(qs)
+    s2_int = [int(v) for v in FR.to_int(s2)]
+    sw = [(s2_int[j], w2_host[j], qs_host[j]) for j in range(m)]
+
     _, qv = open_poly(srs, v_m, su_y)
     return gp.HscProof(
         hsc_s=ss,

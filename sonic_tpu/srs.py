@@ -52,8 +52,18 @@ class SRS:
     # -- generation ----------------------------------------------------------
 
     @classmethod
-    def new(cls, d: int, x: int, alpha: int) -> "SRS":
-        """Trusted setup from trapdoor (x, alpha) — device compute."""
+    def new(cls, d: int, x: int, alpha: int, mesh=None) -> "SRS":
+        """Trusted setup from trapdoor (x, alpha) — device compute.
+
+        Power ladders by log-depth scan, then each of the 4 tables is a
+        fixed-base windowed multiply (msm/fixed_base.py): ~32 batched
+        gathered adds per point instead of the generic 255-step
+        double-and-add ladder. With `mesh`, the 2d+1 exponent rows shard
+        across devices (embarrassingly parallel — SURVEY.md §2.3, sharded
+        SRS generation).
+        """
+        from .msm.fixed_base import fixed_base_mul
+
         x_m = FR.from_int(x)
         alpha_m = FR.from_int(alpha)
         xinv_m = limb.inv(x_m, FR)
@@ -70,13 +80,17 @@ class SRS:
         g_aexps_std = limb.from_mont(g_aexps, FR)
         h_aexps_std = limb.from_mont(aexps, FR)
 
-        gen1 = g1.from_affine(_bcast_affine(g1.generator(), 2 * d + 1))
-        gen2 = g2.from_affine(_bcast_affine(g2.generator(), 2 * d + 1))
+        if mesh is not None:
+            from .parallel.mesh import shard_leading
 
-        g_x = g1.to_affine(g1.scalar_mul(gen1, exps_std))
-        g_ax = g1.to_affine(g1.scalar_mul(gen1, g_aexps_std))
-        h_x = g2.to_affine(g2.scalar_mul(gen2, exps_std))
-        h_ax = g2.to_affine(g2.scalar_mul(gen2, h_aexps_std))
+            exps_std = shard_leading(exps_std, mesh)
+            g_aexps_std = shard_leading(g_aexps_std, mesh)
+            h_aexps_std = shard_leading(h_aexps_std, mesh)
+
+        g_x = g1.to_affine(fixed_base_mul(g1, exps_std))
+        g_ax = g1.to_affine(fixed_base_mul(g1, g_aexps_std))
+        h_x = g2.to_affine(fixed_base_mul(g2, exps_std))
+        h_ax = g2.to_affine(fixed_base_mul(g2, h_aexps_std))
         return cls(d, g_x, g_ax, h_x, h_ax)
 
     # -- host interop --------------------------------------------------------

@@ -105,3 +105,60 @@ def test_commit_matches_golden():
     hfz, hw = gp.open_poly(host_srs, z, r1.to_terms())
     assert int(FR.to_int(fz)) == hfz
     assert jacobian_to_host(w) == hw
+
+
+def test_out_of_range_poly_raises():
+    """Exponent-range overflow raises IndexError (the reference's `index`
+    panic, CommitmentScheme.hs:70-73). The merged tables hold exponents in
+    [-d, d]; the guard must reject hi > d (regression: it used 2d)."""
+    import pytest
+
+    rng = random.Random(605)
+    _, srs, _dc, _da, _cns, d, n = _fixture(rng)
+    too_wide = Laurent(0, FR.from_int([1] * (d + 2)))  # max exp d+1 at max=d
+    with pytest.raises(IndexError, match="outside SRS"):
+        commit_poly(srs, d, too_wide)
+    too_low = Laurent(-(d + 1) - (d - n), FR.from_int([1, 2]))  # lo < -d
+    with pytest.raises(IndexError, match="outside SRS"):
+        commit_poly(srs, n, too_low)
+    with pytest.raises(IndexError, match="outside SRS"):
+        open_poly(srs, FR.from_int(3), Laurent(0, FR.from_int([1] * (d + 3))))
+
+
+def test_device_alpha_hole_fails_fast():
+    """A nonzero coefficient at the shifted X^0 slot must raise by DEFAULT
+    on the device path (parity with golden test_bad_assignment_is_
+    uncommittable; reference panics via index -1 into gNegativeAlphaX)."""
+    import pytest
+
+    rng = random.Random(606)
+    _, srs, _dc, _da, _cns, d, n = _fixture(rng)
+    # constant term 5 at max=d -> shifted exponent 0 hits the g^alpha hole
+    bad = Laurent(-1, FR.from_int([7, 5, 3]))
+    with pytest.raises(IndexError, match="alpha"):
+        commit_poly(srs, d, bad)
+
+
+def test_device_prove_rejects_unsatisfied_assignment():
+    """protocol.prove on a violated circuit must fail fast, not emit a
+    garbage proof (t(X,y) keeps a nonzero constant term)."""
+    import pytest
+
+    from sonic_tpu import protocol
+    from sonic_tpu.circuit import example_circuit_2
+
+    rng = random.Random(607)
+    circuit, assignment = example_circuit_2(x=1, z=2)
+    bad_assignment = type(assignment)(
+        aL=[(a + 1) % gp.P for a in assignment.aL],
+        aR=list(assignment.aR),
+        aO=list(assignment.aO),
+    )
+    n = len(assignment.aL)
+    host_srs = gp.SRS.new(7 * n + 4, x=11, alpha=13)
+    srs = SRS.from_host(host_srs)
+    dc = DeviceCircuit.from_host(circuit)
+    da = DeviceAssignment.from_host(bad_assignment)
+    rnd = gp.Randomness.generate(random.Random(9), m=len(circuit.cs))
+    with pytest.raises(IndexError, match="alpha"):
+        protocol.prove(srs, da, dc, rnd)
