@@ -1,10 +1,20 @@
 """Benchmark runner — prints ONE JSON line with the headline metric.
 
-Headline: G1 MSM throughput (points/s/chip) — the prover's dominant kernel
-(every commit/open is an MSM; reference CommitmentScheme.hs:26-29,45-48).
-vs_baseline is the speedup over the host golden implementation measured in
-the same run (the stand-in for the reference's serial CPU fold — the
-reference publishes no numbers, BASELINE.md).
+Headline: G1 MSM throughput (points/s/chip) at n=2^16 — the prover's
+dominant kernel (every commit/open is an MSM; reference
+CommitmentScheme.hs:26-29,45-48). The `extra` field carries the full
+BASELINE.json config sweep:
+
+  - example circuits 1 & 2 prover/verifier wall-clock (parity with the
+    reference's criterion benches, bench/Main.hs:36-50, d=25n)
+  - n=2^10 random-circuit round-trip: setup / prove / verify, gates/s
+  - SRS generation at d=2^16 + checkpoint save
+  - n=2^20-coefficient NTT polynomial product
+
+vs_baseline compares the device prover's wall-clock against the in-repo
+host golden prover (Python ints — the same algorithm the reference runs
+serially on CPU) on example circuit 2. The reference itself publishes no
+numbers (BASELINE.md).
 
 Usage: python bench.py            (full benchmark, sized by platform)
        python bench.py --quick    (tiny shapes, smoke test)
@@ -13,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import random
 import sys
 import time
 
@@ -22,56 +33,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-
-def _device_msm_rate(n: int, iters: int) -> float:
-    from sonic_tpu.curve.group import g1
-    from sonic_tpu.fields.limb import FQ, FR
-    from sonic_tpu.msm.pippenger import msm
-    from sonic_tpu.golden_protocol import P
-
-    rng = np.random.default_rng(42)
-
-    # Points: batched scalar-mul ladder of the generator by random scalars
-    # (device compute); scalars: fresh randoms in standard limb form.
-    pt_scalars = [int(x) for x in rng.integers(1, 1 << 63, size=n)]
-    gen = g1.from_affine(
-        _bcast(g1.generator(), n)
-    )
-    pts = g1.to_affine(g1.scalar_mul(gen, _std_limbs(pt_scalars, FR)))
-    jax.block_until_ready(pts.x)
-
-    msm_scalars = _std_limbs(
-        [int(rng.integers(1, 1 << 62)) * int(rng.integers(1, 1 << 62)) % P for _ in range(n)],
-        FR,
-    )
-
-    # Warmup (compile)
-    out = msm(g1, pts, msm_scalars)
-    jax.block_until_ready((out.x, out.y, out.z))
-
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = msm(g1, pts, msm_scalars)
-        jax.block_until_ready((out.x, out.y, out.z))
-    dt = time.perf_counter() - t0
-    return n * iters / dt
-
-
-def _host_msm_rate(n_sample: int) -> float:
-    """Golden (Python-int) MSM rate: serial fold of scalar-mult + add,
-    the same shape of work as the reference's commitPoly fold."""
-    from sonic_tpu import golden as gc
-    from sonic_tpu.golden_protocol import P
-
-    rng = np.random.default_rng(7)
-    scalars = [int(rng.integers(1, 1 << 62)) for _ in range(n_sample)]
-    pts = [gc.g1_mul(gc.G1_GEN, 3 + i) for i in range(n_sample)]
-    t0 = time.perf_counter()
-    acc = None
-    for s, p in zip(scalars, pts):
-        acc = gc.g1_add(acc, gc.g1_mul(p, s * 12345 % P))
-    dt = time.perf_counter() - t0
-    return n_sample / dt
+jax.config.update(
+    "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
 
 def _std_limbs(vals, spec):
@@ -80,36 +46,214 @@ def _std_limbs(vals, spec):
     return limb.from_mont(spec.from_int(vals), spec)
 
 
-def _bcast(a, n):
-    from sonic_tpu.curve.group import Affine
+def _sync(x):
+    """Force completion by fetching one element to the host.
 
-    return Affine(
-        jnp.broadcast_to(a.x, (n,) + a.x.shape),
-        jnp.broadcast_to(a.y, (n,) + a.y.shape),
-        jnp.broadcast_to(jnp.asarray(a.inf), (n,)),
+    jax.block_until_ready returns before remote execution finishes on the
+    axon tunnel backend, so all timings close with a real device->host
+    read (one scalar — negligible transfer, full synchronization)."""
+    return np.asarray(x).ravel()[:1]
+
+
+def _device_msm_rate(n: int, iters: int) -> float:
+    from sonic_tpu.curve.group import g1, Affine
+    from sonic_tpu.fields.limb import FR
+    from sonic_tpu.msm.fixed_base import fixed_base_mul
+    from sonic_tpu.msm.pippenger import msm
+    from sonic_tpu.golden_protocol import P
+
+    rng = np.random.default_rng(42)
+    pt_scalars = [int(x) for x in rng.integers(1, 1 << 63, size=n)]
+    pts = g1.to_affine(fixed_base_mul(g1, _std_limbs(pt_scalars, FR)))
+    _sync(pts.x)
+
+    msm_scalars = _std_limbs(
+        [
+            int(rng.integers(1, 1 << 62)) * int(rng.integers(1, 1 << 62)) % P
+            for _ in range(n)
+        ],
+        FR,
+    )
+    out = msm(g1, pts, msm_scalars)  # warmup/compile
+    _sync(out.x)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = msm(g1, pts, msm_scalars)
+        _sync(out.x)
+    return n * iters / (time.perf_counter() - t0)
+
+
+def _pinned_randomness(m: int):
+    from sonic_tpu import golden_protocol as gp
+
+    return gp.Randomness(
+        cns=[101, 102, 103, 104],
+        y=2,
+        z=3,
+        ys=[301 + i for i in range(m)],
+        zs=[401 + i for i in range(m)],
+        u=201,
+        v=202,
     )
 
 
+def _bench_example_circuit(maker, name: str, iters: int, host_too: bool):
+    """Reference bench parity: d=25n, x=1,y=2,z=3,alpha=4
+    (bench/Main.hs:18-27); device prove/verify wall-clock (warm), plus the
+    host golden prover as vs_baseline material."""
+    from sonic_tpu import golden_protocol as gp
+    from sonic_tpu import protocol
+    from sonic_tpu.constraints import DeviceAssignment, DeviceCircuit
+    from sonic_tpu.srs import SRS
+
+    circuit, assignment = maker(x=1, z=2)
+    n = len(assignment.aL)
+    d = 25 * n
+    rnd = _pinned_randomness(len(circuit.cs))
+    host_srs = gp.SRS.new(d, x=1, alpha=4)
+    srs = SRS.from_host(host_srs)
+    dc = DeviceCircuit.from_host(circuit)
+    da = DeviceAssignment.from_host(assignment)
+
+    proof, oracle = protocol.prove(srs, da, dc, rnd)  # warm compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        proof, oracle = protocol.prove(srs, da, dc, rnd)
+    t_prove = (time.perf_counter() - t0) / iters
+
+    protocol.verify(srs, dc, proof, oracle.y, oracle.z, oracle.yzs)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        ok = protocol.verify(srs, dc, proof, oracle.y, oracle.z, oracle.yzs)
+    t_verify = (time.perf_counter() - t0) / iters
+    assert ok
+
+    out = {
+        f"{name}_prove_s": round(t_prove, 4),
+        f"{name}_verify_ms": round(t_verify * 1e3, 2),
+    }
+    if host_too:
+        t0 = time.perf_counter()
+        host_proof, _ = gp.prove(host_srs, assignment, circuit, rnd)
+        out[f"{name}_host_golden_prove_s"] = round(time.perf_counter() - t0, 4)
+        assert host_proof == proof
+    return out
+
+
+def _bench_roundtrip(n: int, q: int):
+    """BASELINE config 2: random circuit at n gates, full setup/prove/
+    verify on device."""
+    from sonic_tpu import golden_protocol as gp
+    from sonic_tpu import protocol
+    from sonic_tpu.circuit import random_circuit
+    from sonic_tpu.constraints import DeviceAssignment, DeviceCircuit
+    from sonic_tpu.srs import SRS
+
+    rng = random.Random(42)
+    circuit, assignment = random_circuit(rng, n=n, q=q)
+    dc = DeviceCircuit.from_host(circuit)
+    da = DeviceAssignment.from_host(assignment)
+    d = 7 * n + 20
+
+    t0 = time.perf_counter()
+    srs = SRS.new(d, x=rng.randrange(2, gp.P), alpha=rng.randrange(2, gp.P))
+    _sync(srs.g_x.x)
+    t_setup = time.perf_counter() - t0
+
+    rnd = gp.Randomness.generate(rng, m=q)
+    proof, oracle = protocol.prove(srs, da, dc, rnd)  # warm compile
+    t0 = time.perf_counter()
+    proof, oracle = protocol.prove(srs, da, dc, rnd)
+    t_prove = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    ok = protocol.verify(srs, dc, proof, oracle.y, oracle.z, oracle.yzs)
+    t_verify = time.perf_counter() - t0
+    assert ok
+    return {
+        f"n{n}_q{q}_setup_s": round(t_setup, 3),
+        f"n{n}_q{q}_prove_s": round(t_prove, 3),
+        f"n{n}_q{q}_gates_per_s": round(n / t_prove, 1),
+        f"n{n}_q{q}_verify_s": round(t_verify, 3),
+    }
+
+
+def _bench_srs(d: int):
+    """BASELINE config 3 flavor: SRS generation at scale + checkpoint."""
+    import tempfile
+
+    from sonic_tpu import serial
+    from sonic_tpu.srs import SRS
+
+    t0 = time.perf_counter()
+    srs = SRS.new(d, x=123456789, alpha=987654321)
+    _sync(srs.h_ax.x)
+    t_gen = time.perf_counter() - t0
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "srs.npz")
+        t0 = time.perf_counter()
+        serial.save_srs(path, srs)
+        t_save = time.perf_counter() - t0
+    return {
+        f"srs_d{d}_gen_s": round(t_gen, 2),
+        f"srs_d{d}_save_s": round(t_save, 2),
+    }
+
+
+def _bench_ntt(n: int):
+    """BASELINE config 4 flavor (single chip): full polynomial product at
+    transform size n (the multi-host all-to-all variant is exercised by
+    tests/dryrun on the virtual mesh)."""
+    from sonic_tpu.fields.limb import FR
+    from sonic_tpu.poly.ntt import poly_mul_ntt
+    from sonic_tpu.golden_protocol import P
+
+    rng = np.random.default_rng(3)
+    half = n // 2
+    a = FR.from_int([int(v) for v in rng.integers(1, 1 << 62, size=half)])
+    b = FR.from_int([int(v) for v in rng.integers(1, 1 << 62, size=half)])
+    out = poly_mul_ntt(a, b)  # warm
+    _sync(out)
+    t0 = time.perf_counter()
+    out = poly_mul_ntt(a, b)
+    _sync(out)
+    return {f"ntt_mul_{n}_s": round(time.perf_counter() - t0, 3)}
+
+
 def main() -> None:
+    from sonic_tpu.circuit import example_circuit_1, example_circuit_2
+
     quick = "--quick" in sys.argv
     platform = jax.devices()[0].platform
-    if quick:
-        n, iters = 1 << 10, 1
-    elif platform == "tpu":
-        n, iters = 1 << 16, 3
-    else:
-        n, iters = 1 << 12, 1
+    extra = {"platform": platform}
 
-    device_rate = _device_msm_rate(n, iters)
-    host_rate = _host_msm_rate(128)
+    if quick:
+        n_msm, iters = 1 << 10, 1
+        rate = _device_msm_rate(n_msm, iters)
+        extra.update(_bench_example_circuit(example_circuit_2, "ex2", 1, True))
+        vs = (
+            extra["ex2_host_golden_prove_s"] / extra["ex2_prove_s"]
+            if "ex2_host_golden_prove_s" in extra
+            else 0.0
+        )
+    else:
+        n_msm, iters = 1 << 16, 3
+        rate = _device_msm_rate(n_msm, iters)
+        extra.update(_bench_example_circuit(example_circuit_1, "ex1", 3, False))
+        extra.update(_bench_example_circuit(example_circuit_2, "ex2", 3, True))
+        extra.update(_bench_roundtrip(1 << 10, 64))
+        extra.update(_bench_srs(1 << 16))
+        extra.update(_bench_ntt(1 << 20))
+        vs = extra["ex2_host_golden_prove_s"] / extra["ex2_prove_s"]
 
     print(
         json.dumps(
             {
-                "metric": f"msm_g1_points_per_s_per_chip_n{n}_{platform}",
-                "value": round(device_rate, 1),
+                "metric": f"msm_g1_points_per_s_per_chip_n{n_msm}_{platform}",
+                "value": round(rate, 1),
                 "unit": "points/s",
-                "vs_baseline": round(device_rate / host_rate, 2),
+                "vs_baseline": round(vs, 2),
+                "extra": extra,
             }
         )
     )

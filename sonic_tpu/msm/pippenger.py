@@ -39,8 +39,16 @@ DEFAULT_LANES = 64
 
 def _pick_c(n: int) -> int:
     """Window size policy (signed digits). Scan-phase work is ~N*W mixed
-    adds with W ~= 256/c + 1, so larger c wins once N amortizes the
-    2^(c-1) buckets' weighted-sum scan + HBM footprint."""
+    adds with W ~= 256/c + 1 against 2^(c-1) buckets.
+
+    On TPU the dense accumulate streams the whole (K, W, B) grid every
+    step (~N*W*B*coord_bytes*passes total), so with measured ~200 GB/s
+    effective traffic and ~12 M adds/s the compute term (W*81 ns/point)
+    and the traffic term (W*B*4.3 ns/point) balance at B ~ 17 -> c=5.
+    Off-TPU the scatter accumulate prefers larger c (fewer scattered
+    rows) once N amortizes the bucket scans."""
+    if jax.default_backend() == "tpu":
+        return 4 if n <= 256 else 5
     if n <= 256:
         return 4
     if n <= 4096:
@@ -91,26 +99,50 @@ def _signed_digits(scalars_std: jnp.ndarray, c: int) -> jnp.ndarray:
     return jnp.stack(outs, axis=-1)
 
 
+@partial(jax.jit, static_argnames=("c", "signed"))
+def _digits_jit(scalars_std: jnp.ndarray, c: int, signed: bool):
+    # one dispatch for the whole W-step recoding loop (it is ~100 cheap
+    # elementwise ops; unjitted each was a separate device round-trip)
+    if signed:
+        return _signed_digits(scalars_std, c)
+    return _digits(scalars_std, c)
+
+
 def _prep_digits(scalars_std: jnp.ndarray, c: int, signed: bool):
     """-> (digits, nbuckets). Signed: buckets index |digit| in [0, 2^(c-1)];
     unsigned: [0, 2^c). Bucket 0 is trash either way."""
-    if signed:
-        return _signed_digits(scalars_std, c), (1 << (c - 1)) + 1
-    return _digits(scalars_std, c), 1 << c
+    nbuckets = ((1 << (c - 1)) + 1) if signed else (1 << c)
+    return _digits_jit(scalars_std, c, signed), nbuckets
+
+
+def _signed_point(group, y_t, dig_t, K, W):
+    """Broadcast the affine y to (K, W) and negate where the signed digit
+    is negative (point negation is y -> -y)."""
+    y_b = jnp.broadcast_to(y_t[:, None], (K, W) + y_t.shape[1:])
+    return group.F.select(
+        dig_t < 0,
+        jnp.broadcast_to(group.F.neg(y_t)[:, None], y_b.shape),
+        y_b,
+    )
 
 
 @partial(jax.jit, static_argnums=(0, 3, 4))
-def _accumulate_buckets(
+def _accumulate_buckets_scatter(
     group: GroupOps,
     points: Affine,
     digits: jnp.ndarray,
     nbuckets: int,
     signed: bool = False,
 ) -> Jacobian:
-    """Scan phase: points (K, T, ...), digits (K, T, W) -> buckets
-    (K, W, nbuckets) Jacobian. Digit 0 lands in a trash bucket (never
-    read). Signed digits index |digit| and add -P (y negated) when the
-    digit is negative."""
+    """Scatter-indexed scan phase: points (K, T, ...), digits (K, T, W) ->
+    buckets (K, W, nbuckets) Jacobian. Digit 0 lands in a trash bucket
+    (never read). Signed digits index |digit| and add -P (y negated) when
+    the digit is negative.
+
+    XLA:CPU lowers the batched gather/scatter well; on TPU scatter cost
+    explodes superlinearly with K*B (measured 0.06-1.7 M adds/s vs the
+    12 M adds/s the VPU sustains) — TPU uses the dense variant below.
+    """
     K, T = digits.shape[0], digits.shape[1]
     W = digits.shape[2]
     buckets = group.infinity((K, W, nbuckets))
@@ -121,14 +153,7 @@ def _accumulate_buckets(
         x_t, y_t, inf_t, dig_t = xs  # (K, ...), (K,), (K, W)
         if signed:
             bidx = jnp.abs(dig_t)
-            y_b = jnp.broadcast_to(
-                y_t[:, None], (K, W) + y_t.shape[1:]
-            )
-            y_use = group.F.select(
-                dig_t < 0,
-                jnp.broadcast_to(group.F.neg(y_t)[:, None], y_b.shape),
-                y_b,
-            )
+            y_use = _signed_point(group, y_t, dig_t, K, W)
         else:
             bidx = dig_t
             y_use = y_t[:, None]
@@ -158,6 +183,88 @@ def _accumulate_buckets(
     )
     buckets, _ = jax.lax.scan(step, buckets, xs)
     return buckets
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4))
+def _accumulate_buckets_dense(
+    group: GroupOps,
+    points: Affine,
+    digits: jnp.ndarray,
+    nbuckets: int,
+    signed: bool = False,
+) -> Jacobian:
+    """Dense one-hot scan phase — same contract as the scatter variant,
+    no gather/scatter ops.
+
+    Per step, the current bucket row is read with a masked reduction over
+    the bucket axis and written back with a select: the whole (K, W, B)
+    grid streams through the VPU each step, so the phase is HBM-bandwidth
+    bound at ~3*K*W*B*coord_bytes per step — vastly cheaper on TPU than
+    XLA's serialized scatter (which also touches the grid, per element).
+    Window size trades adds (W ~ 256/c) against bandwidth (B ~ 2^(c-1));
+    the two balance near c=7 at 800 GB/s and 12 M adds/s.
+    """
+    K, T = digits.shape[0], digits.shape[1]
+    W = digits.shape[2]
+    buckets = group.infinity((K, W, nbuckets))
+    iota_b = jnp.arange(nbuckets)
+    cn = points.x.ndim - 2  # coord tail dims (1 for Fq, 2 for Fq2)
+
+    def step(buckets, xs):
+        x_t, y_t, inf_t, dig_t = xs  # (K, ...), (K,), (K, W)
+        if signed:
+            bidx = jnp.abs(dig_t)
+            y_use = _signed_point(group, y_t, dig_t, K, W)
+        else:
+            bidx = dig_t
+            y_use = jnp.broadcast_to(
+                y_t[:, None], (K, W) + y_t.shape[1:]
+            )
+        onehot = bidx[:, :, None] == iota_b  # (K, W, B)
+        mask = onehot.reshape(onehot.shape + (1,) * cn)
+
+        def read(a):
+            return jnp.where(mask, a, 0).sum(axis=2, dtype=a.dtype)
+
+        cur = Jacobian(read(buckets.x), read(buckets.y), read(buckets.z))
+        q = Affine(
+            jnp.broadcast_to(x_t[:, None], (K, W) + x_t.shape[1:]),
+            y_use,
+            jnp.broadcast_to(inf_t[:, None], (K, W)),
+        )
+        new = group.add_mixed(cur, q)
+
+        def write(a, n):
+            return jnp.where(mask, jnp.expand_dims(n, 2), a)
+
+        buckets = Jacobian(
+            write(buckets.x, new.x),
+            write(buckets.y, new.y),
+            write(buckets.z, new.z),
+        )
+        return buckets, None
+
+    xs = (
+        jnp.moveaxis(points.x, 1, 0),
+        jnp.moveaxis(points.y, 1, 0),
+        jnp.moveaxis(points.inf, 1, 0),
+        jnp.moveaxis(digits, 1, 0),
+    )
+    buckets, _ = jax.lax.scan(step, buckets, xs)
+    return buckets
+
+
+def _accumulate_buckets(
+    group: GroupOps,
+    points: Affine,
+    digits: jnp.ndarray,
+    nbuckets: int,
+    signed: bool = False,
+) -> Jacobian:
+    """Backend-dispatched bucket accumulation (bit-identical variants)."""
+    if jax.default_backend() == "tpu":
+        return _accumulate_buckets_dense(group, points, digits, nbuckets, signed)
+    return _accumulate_buckets_scatter(group, points, digits, nbuckets, signed)
 
 
 @partial(jax.jit, static_argnums=0)
@@ -300,10 +407,40 @@ def msm_batched(
     With `mesh`, the M axis is the data-parallel axis: digits shard over
     the devices (points replicated) and the whole pipeline partitions
     communication-free (each device owns a slice of the m proofs).
+
+    Large M auto-chunks so the (M, K, W, B) bucket grid stays within a
+    fixed HBM budget; chunks reuse the same compiled phase programs.
     """
     m, n = scalars_std.shape[0], scalars_std.shape[1]
     if c is None:
         c = _pick_c(n)
+    # ~1.5 GB bucket-grid budget: grid bytes/instance = K*W*B * 3 coords
+    # * limbs * 4 (Fq2 coords double it)
+    K_est = min(lanes, max(1, n))
+    W_est = (scalars_std.shape[-1] * C.LIMB_BITS + c - 1) // c + (1 if signed else 0)
+    B_est = ((1 << (c - 1)) + 1) if signed else (1 << c)
+    coord_bytes = int(np.prod(points.x.shape[1:])) * 4 * 3
+    per_instance = K_est * W_est * B_est * coord_bytes
+    chunk = max(1, (3 << 29) // max(per_instance, 1))
+    if mesh is not None:
+        ndev = mesh.devices.size
+        chunk = max(ndev, chunk - chunk % ndev)
+    if m > chunk:
+        # pad M to a chunk multiple (zero scalars -> infinity results) so
+        # every chunk reuses ONE compiled shape, then slice back to m
+        m_up = ((m + chunk - 1) // chunk) * chunk
+        if m_up != m:
+            scalars_std = jnp.pad(
+                scalars_std, ((0, m_up - m), (0, 0), (0, 0))
+            )
+        outs = [
+            msm_batched(
+                group, points, scalars_std[i : i + chunk], c, lanes, signed, mesh
+            )
+            for i in range(0, m_up, chunk)
+        ]
+        out = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *outs)
+        return jax.tree.map(lambda a: a[:m], out)
     points, scalars_std, n_pad = _pad_pow2_points(
         points, scalars_std, scalar_axis=1
     )

@@ -174,13 +174,33 @@ class SRS:
         )
 
     # -- verifier elements ---------------------------------------------------
+    # pcV touches only a handful of distinct h rows (h^{x^{-d+max}} for
+    # max in {n, d}, h^alpha, h^{alpha x}) but is called 3m+4 times per
+    # verify; each raw row read is 4 device->host transfers, so rows are
+    # memoized per SRS instance (lazily attached — the dataclass is
+    # frozen).
+
+    def _h_cache(self) -> dict:
+        cache = getattr(self, "_h_rows", None)
+        if cache is None:
+            cache = {}
+            object.__setattr__(self, "_h_rows", cache)
+        return cache
 
     def h_x_at(self, e: int):
         """h^(x^e) as host affine point (for pcV's h^{x^{-d+max}})."""
-        return _g2_row_to_host(self.h_x, e + self.d)
+        cache = self._h_cache()
+        key = ("x", e)
+        if key not in cache:
+            cache[key] = _g2_row_to_host(self.h_x, e + self.d)
+        return cache[key]
 
     def h_ax_at(self, e: int):
-        return _g2_row_to_host(self.h_ax, e + self.d)
+        cache = self._h_cache()
+        key = ("ax", e)
+        if key not in cache:
+            cache[key] = _g2_row_to_host(self.h_ax, e + self.d)
+        return cache[key]
 
 
 def _bcast_affine(a: Affine, n: int) -> Affine:
