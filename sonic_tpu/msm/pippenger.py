@@ -37,6 +37,14 @@ DEFAULT_C = 8
 DEFAULT_LANES = 64
 
 
+def _pick_lanes(n_pad: int) -> int:
+    """128 lanes on TPU (the fused Pallas accumulate runs one point
+    stream per vector lane); 64 elsewhere."""
+    if jax.default_backend() == "tpu" and n_pad >= 128:
+        return 128
+    return min(DEFAULT_LANES, max(1, n_pad))
+
+
 def _pick_c(n: int) -> int:
     """Window size policy (signed digits). Scan-phase work is ~N*W mixed
     adds with W ~= 256/c + 1 against 2^(c-1) buckets.
@@ -48,7 +56,9 @@ def _pick_c(n: int) -> int:
     Off-TPU the scatter accumulate prefers larger c (fewer scattered
     rows) once N amortizes the bucket scans."""
     if jax.default_backend() == "tpu":
-        return 4 if n <= 256 else 5
+        # fused Pallas accumulate: per-step cost = add formula (~W-prop)
+        # + 12B one-hot selects; measured optimum c=6 (9.6 M adds/s)
+        return 4 if n <= 256 else 6
     if n <= 256:
         return 4
     if n <= 4096:
@@ -261,8 +271,22 @@ def _accumulate_buckets(
     nbuckets: int,
     signed: bool = False,
 ) -> Jacobian:
-    """Backend-dispatched bucket accumulation (bit-identical variants)."""
+    """Backend-dispatched bucket accumulation (bit-identical variants).
+
+    TPU + G1 + signed digits at 128 lanes runs the fused Pallas kernel
+    (VMEM-resident bucket grid — msm/pallas_acc.py); other combinations
+    fall back to the dense (TPU) or scatter (CPU) jnp scans."""
     if jax.default_backend() == "tpu":
+        # B <= 129 keeps the double-buffered (B, L, 128) out block in VMEM
+        if (
+            group.name == "G1"
+            and signed
+            and digits.shape[0] == 128
+            and nbuckets <= 129
+        ):
+            from .pallas_acc import accumulate_pallas
+
+            return accumulate_pallas(points, digits, nbuckets)
         return _accumulate_buckets_dense(group, points, digits, nbuckets, signed)
     return _accumulate_buckets_scatter(group, points, digits, nbuckets, signed)
 
@@ -355,7 +379,7 @@ def msm(
     points: Affine,
     scalars_std: jnp.ndarray,
     c: int | None = None,
-    lanes: int = DEFAULT_LANES,
+    lanes: int | None = None,
     signed: bool = True,
 ) -> Jacobian:
     """Sum_i scalars[i] * points[i].
@@ -369,7 +393,7 @@ def msm(
     if c is None:
         c = _pick_c(n)
     points, scalars_std, n_pad = _pad_pow2_points(points, scalars_std)
-    K = min(lanes, max(1, n_pad))
+    K = _pick_lanes(n_pad) if lanes is None else min(lanes, max(1, n_pad))
     steps = n_pad // K
 
     digs, nbuckets = _prep_digits(scalars_std, c, signed)  # (N', W)
@@ -393,7 +417,7 @@ def msm_batched(
     points: Affine,
     scalars_std: jnp.ndarray,
     c: int | None = None,
-    lanes: int = DEFAULT_LANES,
+    lanes: int | None = None,
     signed: bool = True,
     mesh=None,
 ) -> Jacobian:
@@ -416,12 +440,14 @@ def msm_batched(
         c = _pick_c(n)
     # ~1.5 GB bucket-grid budget: grid bytes/instance = K*W*B * 3 coords
     # * limbs * 4 (Fq2 coords double it)
-    K_est = min(lanes, max(1, n))
+    K_est = min(lanes, max(1, n)) if lanes is not None else _pick_lanes(n)
     W_est = (scalars_std.shape[-1] * C.LIMB_BITS + c - 1) // c + (1 if signed else 0)
     B_est = ((1 << (c - 1)) + 1) if signed else (1 << c)
     coord_bytes = int(np.prod(points.x.shape[1:])) * 4 * 3
     per_instance = K_est * W_est * B_est * coord_bytes
     chunk = max(1, (3 << 29) // max(per_instance, 1))
+    if jax.default_backend() == "tpu" and group.name == "G1" and signed:
+        chunk = min(chunk, 128)  # chunks ride the fused 128-lane kernel
     if mesh is not None:
         ndev = mesh.devices.size
         chunk = max(ndev, chunk - chunk % ndev)
@@ -444,12 +470,50 @@ def msm_batched(
     points, scalars_std, n_pad = _pad_pow2_points(
         points, scalars_std, scalar_axis=1
     )
-    K = min(lanes, max(1, n_pad))
+    K = _pick_lanes(n_pad) if lanes is None else min(lanes, max(1, n_pad))
     steps = n_pad // K
 
     digs, nbuckets = _prep_digits(scalars_std, c, signed)  # (M, N', W)
     W = digs.shape[-1]
     coord_tail = points.x.shape[1:]
+
+    # Fused Pallas path: pack the M instances into the 128-lane axis
+    # (K' = 128/M lanes each) — the whole helper batch is ONE kernel.
+    if (
+        mesh is None
+        and lanes is None
+        and signed
+        and nbuckets <= 129
+        and jax.default_backend() == "tpu"
+        and group.name == "G1"
+        and m <= 128
+    ):
+        from .pallas_acc import LANES, accumulate_batched_pallas
+
+        m_p = 1
+        while m_p < m:
+            m_p *= 2
+        kp = LANES // m_p
+        if n_pad % kp == 0:
+            if m_p != m:
+                digs = jnp.pad(
+                    digs, ((0, m_p - m), (0, 0), (0, 0))
+                )
+            pts_k = Affine(
+                points.x.reshape((kp, n_pad // kp) + coord_tail),
+                points.y.reshape((kp, n_pad // kp) + coord_tail),
+                points.inf.reshape(kp, n_pad // kp),
+            )
+            pdig = digs.reshape(m_p, kp, n_pad // kp, W)
+            buckets = accumulate_batched_pallas(pts_k, pdig, nbuckets)
+            buckets = jax.vmap(lambda b: _fold_lanes(group, b))(buckets)
+            totals = jax.vmap(lambda b: _bucket_weighted_sum(group, b))(
+                buckets
+            )
+            out = jax.vmap(lambda t: _window_combine(group, t, c))(totals)
+            if m_p != m:
+                out = jax.tree.map(lambda a: a[:m], out)
+            return out
     pts = Affine(
         points.x.reshape((K, steps) + coord_tail),
         points.y.reshape((K, steps) + coord_tail),
@@ -478,9 +542,9 @@ def msm_batched(
     return out
 
 
-def msm_g1(points, scalars_std, c=None, lanes=DEFAULT_LANES):
+def msm_g1(points, scalars_std, c=None, lanes=None):
     return msm(g1, points, scalars_std, c, lanes)
 
 
-def msm_g2(points, scalars_std, c=None, lanes=DEFAULT_LANES):
+def msm_g2(points, scalars_std, c=None, lanes=None):
     return msm(g2, points, scalars_std, c, lanes)
