@@ -159,6 +159,67 @@ def s_at_y_batched(circuit: DeviceCircuit, ys: jnp.ndarray) -> jnp.ndarray:
     )(ys)
 
 
+# -- proof-batch variants (B independent circuits of one shape) -------------
+# SURVEY.md §2.3 parallelism row 3 / BASELINE config 5: batch-parallel
+# proving. Circuits stack into (B, Q, n, L) weight tensors; every builder
+# vmaps over the proof axis.
+
+
+def stack_circuits(circuits: list[DeviceCircuit]) -> DeviceCircuit:
+    """B shape-identical circuits -> one DeviceCircuit with leading proof
+    axis on every tensor ((B, Q, n, L) weights, (B, Q, L) cs)."""
+    return DeviceCircuit(
+        wL=jnp.stack([c.wL for c in circuits]),
+        wR=jnp.stack([c.wR for c in circuits]),
+        wO=jnp.stack([c.wO for c in circuits]),
+        cs=jnp.stack([c.cs for c in circuits]),
+    )
+
+
+def stack_assignments(assignments: list[DeviceAssignment]) -> DeviceAssignment:
+    return DeviceAssignment(
+        aL=jnp.stack([a.aL for a in assignments]),
+        aR=jnp.stack([a.aR for a in assignments]),
+        aO=jnp.stack([a.aO for a in assignments]),
+    )
+
+
+def r_x1_batch(assignments: DeviceAssignment, cns: jnp.ndarray) -> jnp.ndarray:
+    """Stacked assignments (B, n, L) + blinding (B, 4, L) -> blinded
+    r'(X, 1) coefficient batch (B, 3n+5, L) at offset -(2n+4)."""
+    return jax.vmap(_r_x1_coeffs)(
+        assignments.aL, assignments.aR, assignments.aO, cns
+    )
+
+
+def r_at_y_batch(coeffs: jnp.ndarray, ys: jnp.ndarray, offset: int):
+    """(B, D, L) r' coefficients + (B, L) ys -> (B, D, L) r'(X, y_b)."""
+    return jax.vmap(lambda cf, y: _scale_by_exp_powers(cf, y, offset))(
+        coeffs, ys
+    )
+
+
+def s_at_y_batch(circuits: DeviceCircuit, ys: jnp.ndarray) -> jnp.ndarray:
+    """Stacked circuits + (B, L) ys -> (B, 3n+1, L) s(X, y_b) at -n."""
+    n, q = circuits.wL.shape[2], circuits.wL.shape[1]
+    return jax.vmap(
+        lambda wL, wR, wO, y: _s_at_y_coeffs(wL, wR, wO, y, n, q)
+    )(circuits.wL, circuits.wR, circuits.wO, ys)
+
+
+def s_at_u_batch(circuits: DeviceCircuit, us: jnp.ndarray) -> jnp.ndarray:
+    """Stacked circuits + (B, L) us -> (B, 2n+q+1, L) s(u_b, Y) at -n."""
+    n, q = circuits.wL.shape[2], circuits.wL.shape[1]
+    return jax.vmap(
+        lambda wL, wR, wO, u: _s_u_coeffs(wL, wR, wO, u, n, q)
+    )(circuits.wL, circuits.wR, circuits.wO, us)
+
+
+def k_at_y_batch(circuits: DeviceCircuit, n: int, ys: jnp.ndarray):
+    """Stacked cs (B, Q, L) + (B, L) ys -> (B, L) k(y_b)."""
+    return jax.vmap(lambda cs, y: _k_at_y(cs, y, n))(circuits.cs, ys)
+
+
 @partial(jax.jit, static_argnames=("n", "q"))
 def _s_u_coeffs(wL, wR, wO, u, n: int, q: int):
     upows = limb.powers(u, FR, 2 * n + 1)  # u^0..u^2n

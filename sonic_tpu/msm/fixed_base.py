@@ -91,10 +91,22 @@ def fixed_base_mul(
     group: GroupOps, scalars_std: jnp.ndarray, c: int = DEFAULT_C
 ) -> Jacobian:
     """scalars (N, L) standard-form limbs -> (N,) Jacobian batch of
-    s_i * generator."""
+    s_i * generator.
+
+    N pads to a power of two (>= 256) so _apply_table compiles per
+    size-class, not per exact size (SRS tables are 2d+1 — always odd)."""
     from ..fields import constants as C
 
+    n = scalars_std.shape[0]
+    n_pad = 256
+    while n_pad < n:
+        n_pad *= 2
+    if n_pad != n:
+        scalars_std = jnp.pad(scalars_std, ((0, n_pad - n), (0, 0)))
     nbits = scalars_std.shape[-1] * C.LIMB_BITS
     tab = _table(group, c, nbits)
     digs = _digits(scalars_std, c).astype(jnp.int32)
-    return _apply_table(group, tab, digs)
+    out = _apply_table(group, tab, digs)
+    if n_pad != n:
+        out = jax.tree.map(lambda a: a[:n], out)
+    return out

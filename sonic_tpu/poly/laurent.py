@@ -243,6 +243,32 @@ def _pad_pow2_batch(coeffs: jnp.ndarray) -> jnp.ndarray:
     return jnp.pad(coeffs, ((0, 0), (0, n2 - n), (0, 0)))
 
 
+def add_batched(
+    offset_a: int, a: jnp.ndarray, offset_b: int, b: jnp.ndarray
+) -> tuple[int, jnp.ndarray]:
+    """Batched aligned add: (M, Da, L) + (M, Db, L) at their offsets ->
+    (union offset, (M, D, L))."""
+    lo = min(offset_a, offset_b)
+    hi = max(offset_a + a.shape[1], offset_b + b.shape[1])
+    width = hi - lo
+
+    def pad(off, c):
+        pre = off - lo
+        return jnp.pad(c, ((0, 0), (pre, width - pre - c.shape[1]), (0, 0)))
+
+    return lo, limb.add(pad(offset_a, a), pad(offset_b, b), FR)
+
+
+def mul_batched(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Batched full product: (M, Da, L) x (M, Db, L) -> (M, Da+Db-1, L)
+    (offsets add, handled by the caller). NTT above the threshold."""
+    if a.shape[1] * b.shape[1] >= _NTT_THRESHOLD:
+        from .ntt import poly_mul_ntt
+
+        return jax.vmap(poly_mul_ntt)(a, b)
+    return jax.vmap(_conv_coeffs)(a, b)
+
+
 def evaluate_batched(offset: int, coeffs: jnp.ndarray, zs: jnp.ndarray):
     """f_j(z_j) for coeffs (M, D, L) sharing one exponent offset and
     zs (M, L) -> (M, L)."""

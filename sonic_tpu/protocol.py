@@ -17,6 +17,8 @@ paths are directly comparable bit-for-bit.
 """
 from __future__ import annotations
 
+import jax.numpy as jnp
+
 from .circuit import ArithCircuit, Assignment
 from .constraints import (
     DeviceAssignment,
@@ -106,6 +108,145 @@ def prove(
     )
     oracle = gp.RndOracle(rnd.y, rnd.z, list(zip(rnd.ys, rnd.zs)))
     return proof, oracle
+
+
+def prove_batch(
+    srs: SRS,
+    assignments: list,
+    circuits: list,
+    rnds: list,
+    mesh=None,
+) -> list:
+    """Batch-parallel proving: B independent, shape-identical circuits in
+    one device pipeline (SURVEY.md §2.3 parallelism row 3; BASELINE
+    config 5). Every stage batches over the proof axis:
+
+      - r'(X,1) builds + commits: one vmapped build + one batched MSM
+      - t(X,y) products: one vmapped NTT/schoolbook product
+      - the three openings: batched synthetic division + batched MSMs
+      - helper protocol: ALL B*m instances flattened into single batched
+        commit/open pipelines
+
+    Bit-identical to B independent `prove` calls (tested). Returns
+    [(Proof, RndOracle)] in input order.
+    """
+    from .constraints import (
+        k_at_y_batch,
+        r_at_y_batch,
+        r_x1_batch,
+        s_at_u_batch,
+        s_at_y_batch,
+        s_at_y_batched,
+        stack_assignments,
+        stack_circuits,
+    )
+    from .commitment import (
+        commit_poly_batched,
+        jacobians_to_host,
+        open_poly_batched,
+    )
+    from .signature import hsc_assemble
+
+    B = len(assignments)
+    n = assignments[0].n
+    q = circuits[0].q
+    if srs.d < 7 * n:
+        raise ValueError(
+            f"Parameter d is not large enough: {srs.d} should be > {7 * n}"
+        )
+    asg = stack_assignments(assignments)
+    cir = stack_circuits(circuits)
+    cns = FR.from_int([r.cns for r in rnds])  # (B, 4, L)
+    ys = FR.from_int([r.y for r in rnds])  # (B, L)
+    zs = FR.from_int([r.z for r in rnds])
+
+    # zkP_1: blinded r'(X, 1) + commitments
+    off_r = -(2 * n + 4)
+    r1 = r_x1_batch(asg, cns)  # (B, 3n+5, L)
+    commit_r = jacobians_to_host(
+        commit_poly_batched(srs, n, off_r, r1, mesh=mesh)
+    )
+
+    # zkP_2: t(X, y_b) = r'(X,1)(r'(X,y_b)+s(X,y_b)) - k(y_b)
+    r_y = r_at_y_batch(r1, ys, off_r)
+    s_y = s_at_y_batch(cir, ys)  # (B, 3n+1, L) at -n
+    k_y = k_at_y_batch(cir, n, ys)
+    off_sum, rs = laurent.add_batched(off_r, r_y, -n, s_y)
+    t_c = laurent.mul_batched(r1, rs)
+    off_t = off_r + off_sum
+    ci = -off_t
+    t_c = t_c.at[:, ci].set(limb.sub(t_c[:, ci], k_y, FR))
+    commit_t = jacobians_to_host(
+        commit_poly_batched(srs, srs.d, off_t, t_c, mesh=mesh)
+    )
+
+    # zkP_3: openings of r' at z_b and y_b*z_b, t at z_b; s(z_b, y_b)
+    a_m, wa = open_poly_batched(srs, zs, off_r, r1, mesh=mesh)
+    yz = limb.mul(ys, zs, FR)
+    b_m, wb = open_poly_batched(srs, yz, off_r, r1, mesh=mesh)
+    _, wt = open_poly_batched(srs, zs, off_t, t_c, mesh=mesh)
+    szy = laurent.evaluate_batched(-n, s_y, zs)
+    wa_h = jacobians_to_host(wa)
+    wb_h = jacobians_to_host(wb)
+    wt_h = jacobians_to_host(wt)
+    a_i = [int(v) for v in FR.to_int(a_m)]
+    b_i = [int(v) for v in FR.to_int(b_m)]
+    s_i = [int(v) for v in FR.to_int(szy)]
+
+    # helper: ALL B*m instances in flat batched pipelines
+    m = len(rnds[0].ys)
+    ys_h = FR.from_int([yi for r in rnds for yi in r.ys])  # (B*m, L)
+    zs_h = FR.from_int([zi for r in rnds for zi in r.zs])
+    us = FR.from_int([r.u for r in rnds])  # (B, L)
+    vs = FR.from_int([r.v for r in rnds])
+    s_flat = jnp.concatenate(
+        [
+            s_at_y_batched(c, ys_h[b * m : (b + 1) * m])
+            for b, c in enumerate(circuits)
+        ]
+    )  # (B*m, 3n+1, L)
+    cms = jacobians_to_host(
+        commit_poly_batched(srs, srs.d, -n, s_flat, mesh=mesh)
+    )
+    fzs, ws = open_poly_batched(srs, zs_h, -n, s_flat, mesh=mesh)
+    us_flat = jnp.repeat(us, m, axis=0)
+    _, w2 = open_poly_batched(srs, us_flat, -n, s_flat, mesh=mesh)
+    su = s_at_u_batch(cir, us)  # (B, 2n+q+1, L) at -n
+    c_jac = commit_poly_batched(srs, srs.d, -n, su, mesh=mesh)
+    su_flat = jnp.repeat(su, m, axis=0)
+    s2, qs = open_poly_batched(srs, ys_h, -n, su_flat, mesh=mesh)
+    _, qv = open_poly_batched(srs, vs, -n, su, mesh=mesh)
+
+    hscs = hsc_assemble(
+        B,
+        m,
+        jacobians_to_host(c_jac),
+        jacobians_to_host(qv),
+        cms,
+        [int(v) for v in FR.to_int(fzs)],
+        jacobians_to_host(ws),
+        [int(v) for v in FR.to_int(s2)],
+        jacobians_to_host(w2),
+        jacobians_to_host(qs),
+        [r.u for r in rnds],
+        [r.v for r in rnds],
+    )
+
+    out = []
+    for b, r in enumerate(rnds):
+        proof = gp.Proof(
+            pr_r=commit_r[b],
+            pr_t=commit_t[b],
+            pr_a=a_i[b],
+            pr_wa=wa_h[b],
+            pr_b=b_i[b],
+            pr_wb=wb_h[b],
+            pr_wt=wt_h[b],
+            pr_s=s_i[b],
+            pr_hsc=hscs[b],
+        )
+        out.append((proof, gp.RndOracle(r.y, r.z, list(zip(r.ys, r.zs)))))
+    return out
 
 
 def verify(

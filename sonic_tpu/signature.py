@@ -88,17 +88,66 @@ def hsc_prove(
     )
 
 
+def hsc_assemble(
+    B: int,
+    m: int,
+    c_list,
+    qv_list,
+    cms,
+    fzs,
+    ws,
+    s2,
+    w2,
+    qs,
+    us,
+    vs,
+) -> list:
+    """Reassemble per-proof HscProofs from the flat (B*m) batched pipeline
+    outputs of prove_batch (same field layout as hsc_prove)."""
+    out = []
+    for b in range(B):
+        sl = slice(b * m, (b + 1) * m)
+        ss = [
+            (cms[i], (fzs[i], ws[i])) for i in range(sl.start, sl.stop)
+        ]
+        sw = [(s2[i], w2[i], qs[i]) for i in range(sl.start, sl.stop)]
+        out.append(
+            gp.HscProof(
+                hsc_s=ss,
+                hsc_w=sw,
+                hsc_qv=qv_list[b],
+                hsc_c=c_list[b],
+                hsc_u=us[b],
+                hsc_v=vs[b],
+            )
+        )
+    return out
+
+
 def hsc_verify(srs: SRS, circuit: DeviceCircuit, yzs, proof: gp.HscProof) -> bool:
     """hscVerify (Signature.hs:74-90): s(u,v) recomputed on device with the
-    fused builder, then 3m+1 host pcV pairing checks."""
+    fused builder, then 3m+1 host pcV pairing checks.
+
+    The checks are independent; they run on a thread pool — the native
+    pairing call releases the GIL, so the pool uses every host core
+    (pairings dominate verify latency, BENCH_NOTES.md)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     v_m = FR.from_int(proof.hsc_v)
     u_m = FR.from_int(proof.hsc_u)
     sv = int(FR.to_int(evaluate(s_at_y(circuit, v_m), u_m)))
-    ok = pcv(srs, srs.d, proof.hsc_c, proof.hsc_v, sv, proof.hsc_qv)
+    # warm the memoized h-row fetches before fanning out (they touch jax)
+    checks = [(srs.d, proof.hsc_c, proof.hsc_v, sv, proof.hsc_qv)]
     for (yi, zi), (ci, (si, wi)), (si2, wi2, qi) in zip(
         yzs, proof.hsc_s, proof.hsc_w
     ):
-        ok = ok and pcv(srs, srs.d, ci, zi, si, wi)
-        ok = ok and pcv(srs, srs.d, ci, proof.hsc_u, si2, wi2)
-        ok = ok and pcv(srs, srs.d, proof.hsc_c, yi, si2, qi)
-    return ok
+        checks.append((srs.d, ci, zi, si, wi))
+        checks.append((srs.d, ci, proof.hsc_u, si2, wi2))
+        checks.append((srs.d, proof.hsc_c, yi, si2, qi))
+    if not pcv(srs, *checks[0]):
+        return False
+    if len(checks) == 1:
+        return True
+    with ThreadPoolExecutor() as pool:
+        results = list(pool.map(lambda a: pcv(srs, *a), checks[1:]))
+    return all(results)
