@@ -23,12 +23,12 @@ proofs from both paths are bit-identical for identical randomness.
 from .circuit import ArithCircuit, Assignment, GateWeights
 from .constraints import DeviceAssignment, DeviceCircuit
 from .golden_protocol import Proof, RndOracle, Randomness, HscProof
-from .protocol import prove, verify
+from .protocol import prove, prove_batch, verify
 from .signature import hsc_prove, hsc_verify
 from .commitment import commit_poly, open_poly, pcv
 from .srs import SRS
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"  # tracks the reference's package.yaml version
 
 __all__ = [
     "ArithCircuit",
@@ -41,6 +41,7 @@ __all__ = [
     "Randomness",
     "HscProof",
     "prove",
+    "prove_batch",
     "verify",
     "hsc_prove",
     "hsc_verify",

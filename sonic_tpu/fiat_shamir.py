@@ -201,3 +201,146 @@ def verify(srs: gp.SRS, circuit: ArithCircuit, nizk: NizkProof) -> bool:
     if (y, z, yzs) != (nizk.y, nizk.z, nizk.yzs):
         return False
     return gp.verify(srs, circuit, proof, y, z, yzs)
+
+
+def prove_device(srs, assignment, circuit, blinding: list[int]) -> NizkProof:
+    """Non-interactive prove on the DEVICE prover (TPU compute path).
+
+    Same transcript schedule as `prove` — challenge derivation only fixes
+    the ORDER values are absorbed, not where they are computed, so the m
+    helper commits/opens still run as batched MSM pipelines (all y_j are
+    squeezed together before the S_j block). Byte-identical proofs to the
+    golden `prove` for identical blinding (tested).
+
+    srs: device SRS (sonic_tpu.srs.SRS); assignment/circuit: device forms.
+    """
+    import jax.numpy as jnp
+
+    from . import protocol  # noqa: F401 (package sanity)
+    from .commitment import (
+        commit_poly,
+        commit_poly_batched,
+        jacobian_to_host,
+        jacobians_to_host,
+        open_poly,
+        open_poly_batched,
+    )
+    from .constraints import (
+        k_at_y,
+        r_at_y,
+        r_x1_poly,
+        s_at_u_of_y,
+        s_at_y,
+        s_at_y_batched,
+    )
+    from .fields import limb
+    from .fields.limb import FR
+    from .poly import laurent
+    from .poly.laurent import Laurent, evaluate
+
+    n = assignment.n
+    m = circuit.q
+    if srs.d < 7 * n:
+        raise ValueError(
+            f"Parameter d is not large enough: {srs.d} should be > {7 * n}"
+        )
+    host_circuit = _device_circuit_to_host(circuit)
+    tr = Transcript()
+    _absorb_circuit(tr, host_circuit, srs.d)
+
+    # zkP_1
+    cns_m = FR.from_int(blinding)
+    r1 = r_x1_poly(assignment, cns_m)
+    commit_r = jacobian_to_host(commit_poly(srs, n, r1))
+    tr.absorb_g1(b"R", commit_r)
+    y = tr.challenge_fr(b"y")
+
+    # zkP_2
+    y_m = FR.from_int(y)
+    r_y = r_at_y(r1, y_m)
+    s_y = s_at_y(circuit, y_m)
+    k_y = k_at_y(circuit, n, y_m)
+    t_y = laurent.mul(r1, laurent.add(r_y, s_y))
+    ci = -t_y.offset
+    t_y = Laurent(
+        t_y.offset,
+        t_y.coeffs.at[ci].set(limb.sub(t_y.coeffs[ci], k_y, FR)),
+    )
+    commit_t = jacobian_to_host(commit_poly(srs, srs.d, t_y))
+    tr.absorb_g1(b"T", commit_t)
+    z = tr.challenge_fr(b"z")
+
+    # zkP_3
+    z_m = FR.from_int(z)
+    a_m, wa = open_poly(srs, z_m, r1)
+    b_m, wb = open_poly(srs, limb.mul(y_m, z_m, FR), r1)
+    _, wt = open_poly(srs, z_m, t_y)
+    a = int(FR.to_int(a_m))
+    b = int(FR.to_int(b_m))
+    szy = int(FR.to_int(evaluate(s_y, z_m)))
+    wa_h, wb_h, wt_h = (
+        jacobian_to_host(wa),
+        jacobian_to_host(wb),
+        jacobian_to_host(wt),
+    )
+    tr.absorb_fr(b"a", a)
+    tr.absorb_g1(b"Wa", wa_h)
+    tr.absorb_fr(b"b", b)
+    tr.absorb_g1(b"Wb", wb_h)
+    tr.absorb_g1(b"Wt", wt_h)
+    tr.absorb_fr(b"s", szy)
+    ys = [tr.challenge_fr(b"y_%d" % j) for j in range(m)]
+    zs = [tr.challenge_fr(b"z_%d" % j) for j in range(m)]
+    yzs = list(zip(ys, zs))
+
+    # helper: batched commits/opens, transcript-ordered absorption
+    ys_m = FR.from_int(ys)
+    zs_m = FR.from_int(zs)
+    s_coeffs = s_at_y_batched(circuit, ys_m)
+    cms = jacobians_to_host(commit_poly_batched(srs, srs.d, -n, s_coeffs))
+    fzs, ws = open_poly_batched(srs, zs_m, -n, s_coeffs)
+    ws_h = jacobians_to_host(ws)
+    fzs_i = [int(v) for v in FR.to_int(fzs)]
+    ss = []
+    for j in range(m):
+        ss.append((cms[j], (fzs_i[j], ws_h[j])))
+        tr.absorb_g1(b"S_j", cms[j])
+        tr.absorb_fr(b"s_j", fzs_i[j])
+        tr.absorb_g1(b"W_j", ws_h[j])
+    u = tr.challenge_fr(b"u")
+
+    u_m = FR.from_int(u)
+    su_y = s_at_u_of_y(circuit, u_m)
+    c = jacobian_to_host(commit_poly(srs, srs.d, su_y))
+    tr.absorb_g1(b"C", c)
+    v = tr.challenge_fr(b"v")
+
+    us = jnp.broadcast_to(u_m, ys_m.shape)
+    _, w2 = open_poly_batched(srs, us, -n, s_coeffs)
+    su_b = jnp.broadcast_to(su_y.coeffs[None], (m,) + su_y.coeffs.shape)
+    s2, qs = open_poly_batched(srs, ys_m, su_y.offset, su_b)
+    _, qv = open_poly(srs, FR.from_int(v), su_y)
+    w2_h = jacobians_to_host(w2)
+    qs_h = jacobians_to_host(qs)
+    s2_i = [int(x) for x in FR.to_int(s2)]
+    sw = [(s2_i[j], w2_h[j], qs_h[j]) for j in range(m)]
+    hsc = gp.HscProof(ss, sw, jacobian_to_host(qv), c, u, v)
+
+    proof = gp.Proof(commit_r, commit_t, a, wa_h, b, wb_h, wt_h, szy, hsc)
+    return NizkProof(proof, y, z, yzs)
+
+
+def _device_circuit_to_host(circuit) -> ArithCircuit:
+    """DeviceCircuit -> host ArithCircuit (for transcript absorption)."""
+    from .circuit import GateWeights
+    from .fields.limb import FR
+
+    def rows(mat):
+        vals = FR.to_int(mat)
+        return [[int(v) for v in row] for row in vals]
+
+    w = GateWeights(
+        wL=rows(circuit.wL), wR=rows(circuit.wR), wO=rows(circuit.wO)
+    )
+    cs = [int(v) for v in FR.to_int(circuit.cs)]
+    return ArithCircuit(w, cs)

@@ -95,15 +95,32 @@ def prove(
         srs, circuit, yzs_m, FR.from_int(rnd.u), FR.from_int(rnd.v), mesh=mesh
     )
 
+    # one batched affine conversion + one batched Fr fetch for the five
+    # single points / three scalars (each host round trip through the
+    # device tunnel costs ~35 ms — they dominate small proofs)
+    from .curve.group import Jacobian
+    from .commitment import jacobians_to_host
+
+    import jax.numpy as _jnp
+
+    singles = Jacobian(
+        _jnp.stack([commit_r.x, commit_t.x, wa.x, wb.x, wt.x]),
+        _jnp.stack([commit_r.y, commit_t.y, wa.y, wb.y, wt.y]),
+        _jnp.stack([commit_r.z, commit_t.z, wa.z, wb.z, wt.z]),
+    )
+    r_h, t_h, wa_h, wb_h, wt_h = jacobians_to_host(singles)
+    a_i, b_i, s_i = (
+        int(v) for v in FR.to_int(_jnp.stack([a_m, b_m, szy_m]))
+    )
     proof = gp.Proof(
-        pr_r=jacobian_to_host(commit_r),
-        pr_t=jacobian_to_host(commit_t),
-        pr_a=int(FR.to_int(a_m)),
-        pr_wa=jacobian_to_host(wa),
-        pr_b=int(FR.to_int(b_m)),
-        pr_wb=jacobian_to_host(wb),
-        pr_wt=jacobian_to_host(wt),
-        pr_s=int(FR.to_int(szy_m)),
+        pr_r=r_h,
+        pr_t=t_h,
+        pr_a=a_i,
+        pr_wa=wa_h,
+        pr_b=b_i,
+        pr_wb=wb_h,
+        pr_wt=wt_h,
+        pr_s=s_i,
         pr_hsc=hsc,
     )
     oracle = gp.RndOracle(rnd.y, rnd.z, list(zip(rnd.ys, rnd.zs)))

@@ -78,11 +78,22 @@ def hsc_prove(
     sw = [(s2_int[j], w2_host[j], qs_host[j]) for j in range(m)]
 
     _, qv = open_poly(srs, v_m, su_y)
+    import jax.numpy as _jnp
+
+    from .curve.group import Jacobian
+
+    qv_h, c_h = jacobians_to_host(
+        Jacobian(
+            _jnp.stack([qv.x, c.x]),
+            _jnp.stack([qv.y, c.y]),
+            _jnp.stack([qv.z, c.z]),
+        )
+    )
     return gp.HscProof(
         hsc_s=ss,
         hsc_w=sw,
-        hsc_qv=jacobian_to_host(qv),
-        hsc_c=jacobian_to_host(c),
+        hsc_qv=qv_h,
+        hsc_c=c_h,
         hsc_u=int(FR.to_int(u_m)),
         hsc_v=int(FR.to_int(v_m)),
     )

@@ -80,17 +80,36 @@ class SRS:
         g_aexps_std = limb.from_mont(g_aexps, FR)
         h_aexps_std = limb.from_mont(aexps, FR)
 
+        rows = 2 * d + 1
         if mesh is not None:
             from .parallel.mesh import shard_leading
 
-            exps_std = shard_leading(exps_std, mesh)
-            g_aexps_std = shard_leading(g_aexps_std, mesh)
-            h_aexps_std = shard_leading(h_aexps_std, mesh)
+            # pad the (odd) 2d+1 row count to a device multiple; padded
+            # zero scalars produce infinity rows, sliced off below
+            ndev = mesh.devices.size
+            pad = (-rows) % ndev
 
-        g_x = g1.to_affine(fixed_base_mul(g1, exps_std))
-        g_ax = g1.to_affine(fixed_base_mul(g1, g_aexps_std))
-        h_x = g2.to_affine(fixed_base_mul(g2, exps_std))
-        h_ax = g2.to_affine(fixed_base_mul(g2, h_aexps_std))
+            def prep(a):
+                if pad:
+                    a = jnp.pad(a, ((0, pad), (0, 0)))
+                return shard_leading(a, mesh)
+
+            exps_std = prep(exps_std)
+            g_aexps_std = prep(g_aexps_std)
+            h_aexps_std = prep(h_aexps_std)
+
+        def table(group, scalars):
+            aff = group.to_affine(fixed_base_mul(group, scalars))
+            if aff.x.shape[0] != rows:
+                aff = Affine(
+                    aff.x[:rows], aff.y[:rows], aff.inf[:rows]
+                )
+            return aff
+
+        g_x = table(g1, exps_std)
+        g_ax = table(g1, g_aexps_std)
+        h_x = table(g2, exps_std)
+        h_ax = table(g2, h_aexps_std)
         return cls(d, g_x, g_ax, h_x, h_ax)
 
     # -- host interop --------------------------------------------------------

@@ -67,3 +67,29 @@ def test_nizk_random_circuits(rng):
         blinding = [rng.randrange(1, R_MOD) for _ in range(4)]
         nizk = fs.prove(srs, assignment, circuit, blinding)
         assert fs.verify(srs, circuit, nizk)
+
+
+def test_nizk_device_matches_golden(rng):
+    """Device-path NIZK == golden NIZK byte-for-byte for equal blinding."""
+    from sonic_tpu import fiat_shamir, serial
+    from sonic_tpu.circuit import example_circuit_2
+    from sonic_tpu.constraints import DeviceAssignment, DeviceCircuit
+    from sonic_tpu.srs import SRS
+    from sonic_tpu import golden_protocol as gp
+
+    circuit, assignment = example_circuit_2(x=1, z=2)
+    n = assignment.n
+    host_srs = gp.SRS.new(7 * n + 3, x=17, alpha=19)
+    blinding = [rng.randrange(1, gp.P) for _ in range(4)]
+    golden = fiat_shamir.prove(host_srs, assignment, circuit, blinding)
+    dev = fiat_shamir.prove_device(
+        SRS.from_host(host_srs),
+        DeviceAssignment.from_host(assignment),
+        DeviceCircuit.from_host(circuit),
+        blinding,
+    )
+    assert serial.proof_to_bytes(dev.proof) == serial.proof_to_bytes(
+        golden.proof
+    )
+    assert (dev.y, dev.z, dev.yzs) == (golden.y, golden.z, golden.yzs)
+    assert fiat_shamir.verify(host_srs, circuit, dev)
