@@ -75,6 +75,10 @@ def _guarded(label: str, fn, seconds: int = 1200) -> dict:
         return fn()
     except _Timeout:
         return {f"{label}_error": f"timeout after {seconds}s"}
+    except AssertionError:
+        # proof-equality / verify assertions are correctness regressions,
+        # not infra flakes — they must fail the whole run loudly
+        raise
     except Exception as e:  # pragma: no cover - defensive
         return {f"{label}_error": repr(e)[:200]}
     finally:

@@ -194,6 +194,65 @@ def pcv(srs: SRS, maxm: int, commitment, z: int, v: int, w) -> bool:
     )
 
 
+def _host_msm(points, scalars):
+    """Host-side G1 MSM (native Pippenger when built, golden otherwise)."""
+    from .native import g1_msm_native
+
+    res = g1_msm_native(points, scalars)
+    if res is not NotImplemented:
+        return res
+    return gc.g1_msm(points, scalars)
+
+
+def pcv_batch(srs: SRS, checks) -> bool:
+    """Verify a list of pcV checks (maxm, F, z, v, W) as ONE pairing product
+    via random linear combination.
+
+    Each check i is the reference's 3-pairing equation
+    (CommitmentScheme.hs:58-68):
+        e(W_i, h^{ax}) * e(g^{v_i} W_i^{-z_i}, h^a) * e(F_i^{-1}, h^{x^{-d+max_i}}) = 1.
+    Raising check i to a fresh 128-bit rho_i and multiplying them out gives
+        e(sum rho_i W_i, h^{ax})
+      * e(g^{sum rho_i v_i} + sum -rho_i z_i W_i, h^a)
+      * prod_{distinct max} e(-sum_{i in grp} rho_i F_i, h^{x^{-d+max}}) = 1,
+    i.e. three host MSMs + ONE pairing product of 2 + #distinct-max pairs —
+    instead of 3 pairings per check. Soundness error <= k * 2^-128 (a bad
+    check survives only if the rho-combination cancels, Schwartz-Zippel on
+    the verifier's own randomness). Set SONIC_TPU_NO_BATCH_PCV=1 to force
+    the reference's check-by-check evaluation."""
+    import os
+    import secrets
+
+    if not checks:
+        return True
+    if os.environ.get("SONIC_TPU_NO_BATCH_PCV"):
+        return all(pcv(srs, *c) for c in checks)
+    P = gp.P
+    rhos = [secrets.randbits(128) | 1 for _ in checks]
+    a_pts, a_sc = [], []
+    b_pts, b_sc = [], []
+    groups: dict = {}
+    vsum = 0
+    for rho, (maxm, F, z, v, w) in zip(rhos, checks):
+        a_pts.append(w)
+        a_sc.append(rho)
+        b_pts.append(w)
+        b_sc.append((-rho * z) % P)
+        vsum = (vsum + rho * v) % P
+        groups.setdefault(maxm, []).append((F, rho))
+    b_pts.append(gc.G1_GEN)
+    b_sc.append(vsum)
+    A = _host_msm(a_pts, a_sc)
+    B = _host_msm(b_pts, b_sc)
+    pairs = [(A, srs.h_ax_at(1)), (B, srs.h_ax_at(0))]
+    for maxm, items in groups.items():
+        cm = _host_msm([f for f, _ in items], [r_ for _, r_ in items])
+        pairs.append(
+            (None if cm is None else gc.g1_neg(cm), srs.h_x_at(-srs.d + maxm))
+        )
+    return pr.pairing_product_is_one(pairs)
+
+
 def jacobian_to_host(p: Jacobian):
     """Unbatched device Jacobian -> host affine tuple (or None)."""
     aff = g1.to_affine(p)

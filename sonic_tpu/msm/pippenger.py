@@ -270,16 +270,21 @@ def _accumulate_buckets(
     digits: jnp.ndarray,
     nbuckets: int,
     signed: bool = False,
+    allow_pallas: bool = True,
 ) -> Jacobian:
     """Backend-dispatched bucket accumulation (bit-identical variants).
 
     TPU + G1 + signed digits at 128 lanes runs the fused Pallas kernel
     (VMEM-resident bucket grid — msm/pallas_acc.py); other combinations
-    fall back to the dense (TPU) or scatter (CPU) jnp scans."""
+    fall back to the dense (TPU) or scatter (CPU) jnp scans.
+    `allow_pallas=False` forces the jnp variant — required under vmap or
+    mesh sharding, where pallas_call is not GSPMD-partitionable (the
+    batched paths pack instances into lanes instead)."""
     if jax.default_backend() == "tpu":
         # B <= 129 keeps the double-buffered (B, L, 128) out block in VMEM
         if (
-            group.name == "G1"
+            allow_pallas
+            and group.name == "G1"
             and signed
             and digits.shape[0] == 128
             and nbuckets <= 129
@@ -532,7 +537,9 @@ def msm_batched(
         pdig = shard_leading(pdig, mesh)
 
     buckets = jax.vmap(
-        lambda d: _accumulate_buckets(group, pts, d, nbuckets, signed)
+        lambda d: _accumulate_buckets(
+            group, pts, d, nbuckets, signed, allow_pallas=False
+        )
     )(pdig)  # (M, K, W, B)
     buckets = jax.vmap(lambda b: _fold_lanes(group, b))(buckets)  # (M, W, B)
     totals = jax.vmap(lambda b: _bucket_weighted_sum(group, b))(buckets)

@@ -48,16 +48,64 @@ def get_lib():
             ctypes.POINTER(ctypes.c_ubyte),
             ctypes.c_int,
         ]
+        lib.sonic_g1_msm.restype = None
+        lib.sonic_g1_msm.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_ubyte),
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_ubyte),
+        ]
         if lib.sonic_native_ok() != 1:
             return None
         _LIB = lib
-    except OSError:
+    except (OSError, AttributeError):
         _LIB = None
     return _LIB
 
 
 def _fq_words(v: int) -> list[int]:
     return [(v >> (64 * i)) & ((1 << 64) - 1) for i in range(6)]
+
+
+def g1_msm_native(points, scalars):
+    """Host Pippenger MSM over G1 affine tuples with int scalars.
+
+    Returns the affine tuple (or None for infinity), or the sentinel
+    `NotImplemented` when the native library is absent (so callers can
+    fall back to the Python golden MSM)."""
+    lib = get_lib()
+    if lib is None:
+        return NotImplemented
+    n = len(points)
+    pts = np.zeros(n * 12, np.uint64)
+    inf = np.zeros(n, np.uint8)
+    sc = np.zeros(n * 4, np.uint64)
+    mask = (1 << 64) - 1
+    for i, (p, s) in enumerate(zip(points, scalars)):
+        if p is None or s == 0:
+            inf[i] = 1
+            continue
+        pts[i * 12 : i * 12 + 6] = _fq_words(p[0])
+        pts[i * 12 + 6 : i * 12 + 12] = _fq_words(p[1])
+        for w in range(4):
+            sc[i * 4 + w] = (s >> (64 * w)) & mask
+    out = np.zeros(12, np.uint64)
+    out_inf = np.zeros(1, np.uint8)
+    lib.sonic_g1_msm(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        inf.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        sc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        ctypes.c_int(n),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        out_inf.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+    )
+    if out_inf[0]:
+        return None
+    x = sum(int(w) << (64 * i) for i, w in enumerate(out[:6]))
+    y = sum(int(w) << (64 * i) for i, w in enumerate(out[6:]))
+    return (x, y)
 
 
 def pairing_product_is_one_native(pairs) -> bool | None:

@@ -274,11 +274,27 @@ def verify(
     z: int,
     yzs: list,
 ) -> bool:
-    """Protocol.hs:111-130: device recompute of k(y)/s values, host pairings."""
+    """Protocol.hs:111-130: device recompute of k(y)/s values, host pairings.
+
+    All 3m+4 pcV checks (the helper's 3m+1 plus the three protocol-level
+    ones) merge into ONE batched pairing product (commitment.pcv_batch);
+    SONIC_TPU_NO_BATCH_PCV=1 restores the reference's check-by-check shape.
+    """
+    import os
+
+    from .commitment import pcv_batch
+    from .signature import hsc_checks
+
     n = circuit.n
     y_m = FR.from_int(y)
     k_y = int(FR.to_int(k_at_y(circuit, n, y_m)))
     t = (proof.pr_a * ((proof.pr_b + proof.pr_s) % gp.P) - k_y) % gp.P
+    if not os.environ.get("SONIC_TPU_NO_BATCH_PCV"):
+        checks = hsc_checks(srs, circuit, yzs, proof.pr_hsc)
+        checks.append((n, proof.pr_r, z, proof.pr_a, proof.pr_wa))
+        checks.append((n, proof.pr_r, y * z % gp.P, proof.pr_b, proof.pr_wb))
+        checks.append((srs.d, proof.pr_t, z, t, proof.pr_wt))
+        return pcv_batch(srs, checks)
     return (
         hsc_verify(srs, circuit, yzs, proof.pr_hsc)
         and pcv(srs, n, proof.pr_r, z, proof.pr_a, proof.pr_wa)

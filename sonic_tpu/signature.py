@@ -135,19 +135,16 @@ def hsc_assemble(
     return out
 
 
-def hsc_verify(srs: SRS, circuit: DeviceCircuit, yzs, proof: gp.HscProof) -> bool:
-    """hscVerify (Signature.hs:74-90): s(u,v) recomputed on device with the
-    fused builder, then 3m+1 host pcV pairing checks.
-
-    The checks are independent; they run on a thread pool — the native
-    pairing call releases the GIL, so the pool uses every host core
-    (pairings dominate verify latency, BENCH_NOTES.md)."""
-    from concurrent.futures import ThreadPoolExecutor
-
+def hsc_checks(
+    srs: SRS, circuit: DeviceCircuit, yzs, proof: gp.HscProof
+) -> list:
+    """The 3m+1 pcV checks of hscVerify (Signature.hs:74-90) as
+    (maxm, F, z, v, W) tuples; s(u,v) recomputed on device with the fused
+    builder. Callers feed these to pcv_batch (possibly merged with the
+    outer protocol's checks) or evaluate them one by one."""
     v_m = FR.from_int(proof.hsc_v)
     u_m = FR.from_int(proof.hsc_u)
     sv = int(FR.to_int(evaluate(s_at_y(circuit, v_m), u_m)))
-    # warm the memoized h-row fetches before fanning out (they touch jax)
     checks = [(srs.d, proof.hsc_c, proof.hsc_v, sv, proof.hsc_qv)]
     for (yi, zi), (ci, (si, wi)), (si2, wi2, qi) in zip(
         yzs, proof.hsc_s, proof.hsc_w
@@ -155,6 +152,31 @@ def hsc_verify(srs: SRS, circuit: DeviceCircuit, yzs, proof: gp.HscProof) -> boo
         checks.append((srs.d, ci, zi, si, wi))
         checks.append((srs.d, ci, proof.hsc_u, si2, wi2))
         checks.append((srs.d, proof.hsc_c, yi, si2, qi))
+    return checks
+
+
+def hsc_verify(srs: SRS, circuit: DeviceCircuit, yzs, proof: gp.HscProof) -> bool:
+    """hscVerify (Signature.hs:74-90): one batched random-linear-combination
+    pairing product over the 3m+1 pcV checks (commitment.pcv_batch).
+
+    With SONIC_TPU_NO_BATCH_PCV=1 the checks run individually on a thread
+    pool instead (the native pairing call releases the GIL, so the pool
+    uses every host core) — the reference's exact check-by-check shape."""
+    import os
+
+    from .commitment import pcv_batch
+
+    checks = hsc_checks(srs, circuit, yzs, proof)
+    if not os.environ.get("SONIC_TPU_NO_BATCH_PCV"):
+        return pcv_batch(srs, checks)
+    from concurrent.futures import ThreadPoolExecutor
+
+    # warm the memoized h-row fetches before fanning out (they touch jax;
+    # the lazily-memoized SRS._h_cache is not thread-safe)
+    for maxm in {c[0] for c in checks}:
+        srs.h_x_at(-srs.d + maxm)
+    srs.h_ax_at(0)
+    srs.h_ax_at(1)
     if not pcv(srs, *checks[0]):
         return False
     if len(checks) == 1:

@@ -91,6 +91,46 @@ def test_tXy_commit_scheme():
     )
 
 
+def test_pcv_batch_matches_individual():
+    """Random-linear-combination pcV batching accepts exactly the check
+    lists whose members all pass individually (mixed maxm groups)."""
+    from sonic_tpu.commitment import pcv_batch
+
+    rng = random.Random(604)
+    _, srs, dc, da, cns, d, n = _fixture(rng)
+    r1 = r_x1_poly(da, cns)
+    commit_r = jacobian_to_host(commit_poly(srs, n, r1))
+    z1 = rng.randrange(2, gp.P)
+    fz1, w1 = open_poly(srs, FR.from_int(z1), r1)
+    z2 = rng.randrange(2, gp.P)
+    fz2, w2 = open_poly(srs, FR.from_int(z2), r1)
+    y_m = FR.from_int(rng.randrange(2, gp.P))
+    t_y = laurent.mul(r1, laurent.add(r_at_y(r1, y_m), s_at_y(dc, y_m)))
+    k_y = k_at_y(dc, n, y_m)
+    ci = -t_y.offset
+    t_y = Laurent(
+        t_y.offset, t_y.coeffs.at[ci].set(limb.sub(t_y.coeffs[ci], k_y, FR))
+    )
+    commit_t = jacobian_to_host(commit_poly(srs, d, t_y))
+    z3 = rng.randrange(2, gp.P)
+    fz3, w3 = open_poly(srs, FR.from_int(z3), t_y)
+    checks = [
+        (n, commit_r, z1, int(FR.to_int(fz1)), jacobian_to_host(w1)),
+        (n, commit_r, z2, int(FR.to_int(fz2)), jacobian_to_host(w2)),
+        (d, commit_t, z3, int(FR.to_int(fz3)), jacobian_to_host(w3)),
+    ]
+    assert pcv_batch(srs, checks)
+    assert pcv_batch(srs, [])
+    # any single tampered member must fail the whole batch
+    bad_v = list(checks)
+    m_, F_, z_, v_, w_ = bad_v[1]
+    bad_v[1] = (m_, F_, z_, (v_ + 1) % gp.P, w_)
+    assert not pcv_batch(srs, bad_v)
+    bad_max = list(checks)
+    bad_max[2] = (n, *bad_max[2][1:])
+    assert not pcv_batch(srs, bad_max)
+
+
 def test_commit_matches_golden():
     """Device commit/open == host golden commit/open bit-for-bit."""
     rng = random.Random(604)

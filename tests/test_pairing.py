@@ -41,3 +41,45 @@ def test_pairing_product(rng):
     # e(P,Q) * e(-P,Q) == 1
     prod = pairing.pairing_product([(P, Q), (golden.g1_neg(P), Q)])
     assert prod == pairing.FQ12_ONE
+
+
+def test_fast_final_exp_vs_generic(rng):
+    """The x-chain final exponentiation computes the standard cube of the
+    generic (q^12-1)/r power — same GT subgroup, bijective map."""
+    a = rng.randrange(1, R_MOD)
+    P = golden.g1_mul(golden.G1_GEN, a)
+    f = pairing.miller_loop_generic(P, golden.G2_GEN)
+    fast = pairing.final_exponentiation(f)
+    slow = pairing.final_exponentiation_generic(f)
+    assert fast == pairing.fq12_pow(slow, 3)
+
+
+def test_fast_miller_vs_generic(rng):
+    """Twist-resident Miller loop agrees with the untwisted affine oracle
+    after final exponentiation (pre-FE values differ by subfield factors
+    the exponentiation kills)."""
+    a = rng.randrange(1, R_MOD)
+    b = rng.randrange(1, R_MOD)
+    P = golden.g1_mul(golden.G1_GEN, a)
+    Q = golden.g2_mul(golden.G2_GEN, b)
+    f_fast = pairing.miller_loop(P, Q)
+    f_gen = pairing.miller_loop_generic(P, Q)
+    assert pairing.final_exponentiation(f_fast) == pairing.final_exponentiation(
+        f_gen
+    )
+
+
+def test_frobenius_is_qth_power(rng):
+    a = rng.randrange(1, R_MOD)
+    P = golden.g1_mul(golden.G1_GEN, a)
+    f = pairing.miller_loop(P, golden.G2_GEN)
+    from sonic_tpu.fields.constants import Q_MOD
+
+    assert pairing.fq12_frob(f) == pairing.fq12_pow(f, Q_MOD)
+
+
+def test_cyclotomic_square_in_subgroup(rng):
+    a = rng.randrange(1, R_MOD)
+    P = golden.g1_mul(golden.G1_GEN, a)
+    e = pairing.pairing(P, golden.G2_GEN)  # in the order-r GT subgroup
+    assert pairing.fq12_cyc_sqr(e) == pairing.fq12_mul(e, e)
