@@ -219,11 +219,9 @@ def prove_device(srs, assignment, circuit, blinding: list[int]) -> NizkProof:
     from . import protocol  # noqa: F401 (package sanity)
     from .commitment import (
         commit_poly,
-        commit_poly_batched,
         jacobian_to_host,
         jacobians_to_host,
         open_poly,
-        open_poly_batched,
     )
     from .constraints import (
         k_at_y,
@@ -231,7 +229,6 @@ def prove_device(srs, assignment, circuit, blinding: list[int]) -> NizkProof:
         r_x1_poly,
         s_at_u_of_y,
         s_at_y,
-        s_at_y_batched,
     )
     from .fields import limb
     from .fields.limb import FR
@@ -293,12 +290,16 @@ def prove_device(srs, assignment, circuit, blinding: list[int]) -> NizkProof:
     zs = [tr.challenge_fr(b"z_%d" % j) for j in range(m)]
     yzs = list(zip(ys, zs))
 
-    # helper: batched commits/opens, transcript-ordered absorption
+    # helper: the SAME batched device pipelines as the interactive prover
+    # (signature.hsc_sj_device / hsc_cu_device — ADVICE r3: one source of
+    # truth), with the transcript absorbing between the two blocks exactly
+    # where the u and v challenges are squeezed.
+    from .signature import hsc_cu_device, hsc_sj_device
+
     ys_m = FR.from_int(ys)
     zs_m = FR.from_int(zs)
-    s_coeffs = s_at_y_batched(circuit, ys_m)
-    cms = jacobians_to_host(commit_poly_batched(srs, srs.d, -n, s_coeffs))
-    fzs, ws = open_poly_batched(srs, zs_m, -n, s_coeffs)
+    s_coeffs, cms_j, fzs, ws = hsc_sj_device(srs, circuit, ys_m, zs_m)
+    cms = jacobians_to_host(cms_j)
     ws_h = jacobians_to_host(ws)
     fzs_i = [int(v) for v in FR.to_int(fzs)]
     ss = []
@@ -310,16 +311,18 @@ def prove_device(srs, assignment, circuit, blinding: list[int]) -> NizkProof:
     u = tr.challenge_fr(b"u")
 
     u_m = FR.from_int(u)
+    # v is derived from C alone, so C must be committed (and fetched)
+    # before the openings can use v; su_y/c are handed back to
+    # hsc_cu_device so the block is not recomputed.
     su_y = s_at_u_of_y(circuit, u_m)
-    c = jacobian_to_host(commit_poly(srs, srs.d, su_y))
+    c_j = commit_poly(srs, srs.d, su_y, check_hole=False)
+    c = jacobian_to_host(c_j)
     tr.absorb_g1(b"C", c)
     v = tr.challenge_fr(b"v")
 
-    us = jnp.broadcast_to(u_m, ys_m.shape)
-    _, w2 = open_poly_batched(srs, us, -n, s_coeffs)
-    su_b = jnp.broadcast_to(su_y.coeffs[None], (m,) + su_y.coeffs.shape)
-    s2, qs = open_poly_batched(srs, ys_m, su_y.offset, su_b)
-    _, qv = open_poly(srs, FR.from_int(v), su_y)
+    _c_j, w2, s2, qs, qv = hsc_cu_device(
+        srs, circuit, s_coeffs, u_m, ys_m, FR.from_int(v), su_y=su_y, c=c_j
+    )
     w2_h = jacobians_to_host(w2)
     qs_h = jacobians_to_host(qs)
     s2_i = [int(x) for x in FR.to_int(s2)]

@@ -65,8 +65,30 @@ class FieldSpec:
     # -- host-side converters ------------------------------------------------
 
     def from_int(self, v, mont: bool = True) -> jnp.ndarray:
-        """Python int (or nested list of ints) -> limb array (Montgomery)."""
+        """Python int (or nested list of ints) -> limb array (Montgomery).
+
+        Large batches (> 4096 elements — e.g. the (Q, n) circuit matrices
+        at n=2^16) take a vectorized path: limb decomposition as L masked
+        shifts over the whole object array (C-level loops instead of a
+        Python loop per element), with the Montgomery conversion done as
+        ONE device multiply by R^2 (mont_mul(v, R^2) = v*R exactly, with
+        the canonical conditional subtract — bit-identical to the host
+        loop)."""
         arr = np.asarray(v, dtype=object)
+        if arr.size > 4096:
+            flat = arr.ravel() % self.modulus  # object ints, C-level loop
+            out = np.zeros((flat.size, self.nlimbs), np.uint32)
+            mask = (1 << C.LIMB_BITS) - 1
+            for i in range(self.nlimbs):
+                out[:, i] = (flat & mask).astype(np.uint32)
+                flat = flat >> C.LIMB_BITS
+            limbs = jnp.asarray(out.reshape(arr.shape + (self.nlimbs,)))
+            if mont:
+                r2 = C.int_to_limbs(
+                    self.mont_r * self.mont_r % self.modulus, self.nlimbs
+                )
+                limbs = mul(limbs, jnp.asarray(r2, jnp.uint32), self)
+            return limbs
         out = np.zeros(arr.shape + (self.nlimbs,), np.uint32)
         it = np.nditer(arr, flags=["multi_index", "refs_ok"])
         for x in it:
@@ -423,21 +445,39 @@ def inv(a, spec: FieldSpec):
 
 @partial(jax.jit, static_argnames="spec")
 def batch_inv(a, spec: FieldSpec):
-    """Montgomery-trick batch inversion along the LEADING axis: one field
-    inversion plus 3(n-1) multiplies, as two lax.scans.
+    """Montgomery-trick batch inversion along the LEADING axis.
 
     Zero inputs map to zero outputs (needed for curve-op edge cases).
-    """
+
+    The n elements fold into C = min(n, 1024) independent prefix chains
+    (scan over rows of an (R, C) reshape, every step a C-wide batched
+    mul), the C chain totals invert with ONE batched Fermat ladder, and a
+    reverse scan unwinds the prefixes — 2*ceil(n/C) + ~570 sequential
+    steps instead of the 2n a flat scan costs (to_affine over a 2^18-row
+    SRS table: 16 s -> <1 s). Each output is the exact field inverse, so
+    the chunking is bit-invisible."""
+    n = a.shape[0]
+    tail = a.shape[1:]
     is_zero = jnp.all(a == 0, axis=-1, keepdims=True)
-    one = jnp.broadcast_to(spec.from_int(1), a.shape[1:])
+    one = jnp.broadcast_to(spec.from_int(1), tail)
     safe = jnp.where(is_zero, jnp.broadcast_to(one, a.shape), a)
+
+    C = min(n, 1024) if n else 1
+    R = (n + C - 1) // C
+    pad = R * C - n
+    if pad:
+        safe = jnp.concatenate(
+            [safe, jnp.broadcast_to(one, (pad,) + tail)], axis=0
+        )
+    grid = safe.reshape((R, C) + tail)
+    ones_row = jnp.broadcast_to(spec.from_int(1), (C,) + tail)
 
     def fwd(carry, x):
         nxt = mul(carry, x, spec)
         return nxt, carry  # emit the prefix EXCLUDING x
 
-    total, prefix_excl = jax.lax.scan(fwd, one, safe)
-    total_inv = inv(total, spec)
+    totals, prefix_excl = jax.lax.scan(fwd, ones_row, grid)
+    totals_inv = inv(totals, spec)
 
     def bwd(carry, xs):
         x, pfx = xs
@@ -445,8 +485,11 @@ def batch_inv(a, spec: FieldSpec):
         nxt = mul(carry, x, spec)
         return nxt, out
 
-    _, outs_rev = jax.lax.scan(bwd, total_inv, (safe, prefix_excl), reverse=True)
-    return jnp.where(is_zero, jnp.zeros_like(outs_rev), outs_rev)
+    _, outs_rev = jax.lax.scan(
+        bwd, totals_inv, (grid, prefix_excl), reverse=True
+    )
+    outs = outs_rev.reshape((R * C,) + tail)[:n]
+    return jnp.where(is_zero, jnp.zeros_like(outs), outs)
 
 
 def is_zero(a) -> jnp.ndarray:

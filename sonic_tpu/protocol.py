@@ -78,7 +78,13 @@ def prove(
             limb.sub(t_y.coeffs[const_idx], k_y, FR)
         ),
     )
-    commit_t = commit_poly(srs, srs.d, t_y, mesh=mesh)
+    # t's X^0 coefficient is the reference's g^alpha hole check for the t
+    # commitment (nonzero exactly when the assignment violates the
+    # constraints — the heart-of-Sonic identity). Checking it host-side
+    # HERE would be a blocking mid-pipeline fetch; instead it rides the
+    # final batched scalar fetch and raises below with the same semantics.
+    t_const_m = t_y.coeffs[const_idx]
+    commit_t = commit_poly(srs, srs.d, t_y, check_hole=False, mesh=mesh)
 
     # -- zkP_3: openings
     a_m, wa = open_poly(srs, z_m, r1, mesh=mesh)
@@ -87,30 +93,98 @@ def prove(
     _, wt = open_poly(srs, z_m, t_y, mesh=mesh)
     szy_m = evaluate(s_y, z_m)
 
-    # -- helper protocol
-    yzs_m = [
-        (FR.from_int(yi), FR.from_int(zi)) for yi, zi in zip(rnd.ys, rnd.zs)
-    ]
-    hsc = hsc_prove(
-        srs, circuit, yzs_m, FR.from_int(rnd.u), FR.from_int(rnd.v), mesh=mesh
-    )
-
-    # one batched affine conversion + one batched Fr fetch for the five
-    # single points / three scalars (each host round trip through the
-    # device tunnel costs ~35 ms — they dominate small proofs)
+    # -- helper protocol (device compute only — no host reads yet)
     from .curve.group import Jacobian
     from .commitment import jacobians_to_host
+    from .signature import hsc_prove_device
 
     import jax.numpy as _jnp
 
-    singles = Jacobian(
-        _jnp.stack([commit_r.x, commit_t.x, wa.x, wb.x, wt.x]),
-        _jnp.stack([commit_r.y, commit_t.y, wa.y, wb.y, wt.y]),
-        _jnp.stack([commit_r.z, commit_t.z, wa.z, wb.z, wt.z]),
+    m = len(rnd.ys)
+    u_m = FR.from_int(rnd.u)
+    v_m = FR.from_int(rnd.v)
+    oracle = gp.RndOracle(rnd.y, rnd.z, list(zip(rnd.ys, rnd.zs)))
+    if m == 0:
+        hsc = hsc_prove(srs, circuit, [], u_m, v_m, mesh=mesh)
+        singles = Jacobian(
+            _jnp.stack([commit_r.x, commit_t.x, wa.x, wb.x, wt.x]),
+            _jnp.stack([commit_r.y, commit_t.y, wa.y, wb.y, wt.y]),
+            _jnp.stack([commit_r.z, commit_t.z, wa.z, wb.z, wt.z]),
+        )
+        r_h, t_h, wa_h, wb_h, wt_h = jacobians_to_host(singles)
+        a_i, b_i, s_i, tc_i = (
+            int(v)
+            for v in FR.to_int(_jnp.stack([a_m, b_m, szy_m, t_const_m]))
+        )
+        if tc_i != 0:
+            raise IndexError(
+                "commitPoly: nonzero coefficient at alpha*x^0 (g^alpha is "
+                "not in the SRS)"
+            )
+        return (
+            gp.Proof(r_h, t_h, a_i, wa_h, b_i, wb_h, wt_h, s_i, hsc),
+            oracle,
+        )
+
+    ys_st = _jnp.stack([FR.from_int(yi) for yi in rnd.ys])
+    zs_st = _jnp.stack([FR.from_int(zi) for zi in rnd.zs])
+    cms, ws, w2, qs, c_j, qv, fzs, s2 = hsc_prove_device(
+        srs, circuit, ys_st, zs_st, u_m, v_m, mesh=mesh
     )
-    r_h, t_h, wa_h, wb_h, wt_h = jacobians_to_host(singles)
-    a_i, b_i, s_i = (
-        int(v) for v in FR.to_int(_jnp.stack([a_m, b_m, szy_m]))
+
+    # ONE batched affine conversion + ONE batched Fr fetch for ALL 4m+7
+    # points and 2m+4 scalars of the proof (each host round trip through
+    # the device tunnel costs ~35 ms; the r3 prover blocked on ~8 of them)
+    allj = Jacobian(
+        _jnp.concatenate(
+            [
+                _jnp.stack([commit_r.x, commit_t.x, wa.x, wb.x, wt.x]),
+                cms.x, ws.x, w2.x, qs.x,
+                _jnp.stack([c_j.x, qv.x]),
+            ], 0,
+        ),
+        _jnp.concatenate(
+            [
+                _jnp.stack([commit_r.y, commit_t.y, wa.y, wb.y, wt.y]),
+                cms.y, ws.y, w2.y, qs.y,
+                _jnp.stack([c_j.y, qv.y]),
+            ], 0,
+        ),
+        _jnp.concatenate(
+            [
+                _jnp.stack([commit_r.z, commit_t.z, wa.z, wb.z, wt.z]),
+                cms.z, ws.z, w2.z, qs.z,
+                _jnp.stack([c_j.z, qv.z]),
+            ], 0,
+        ),
+    )
+    pts = jacobians_to_host(allj)
+    evs = [
+        int(v)
+        for v in FR.to_int(
+            _jnp.concatenate(
+                [_jnp.stack([a_m, b_m, szy_m, t_const_m]), fzs, s2], 0
+            )
+        )
+    ]
+    a_i, b_i, s_i, tc_i = evs[:4]
+    if tc_i != 0:
+        raise IndexError(
+            "commitPoly: nonzero coefficient at alpha*x^0 (g^alpha is "
+            "not in the SRS)"
+        )
+    fzs_i, s2_i = evs[4 : 4 + m], evs[4 + m :]
+    r_h, t_h, wa_h, wb_h, wt_h = pts[:5]
+    cms_h, ws_h = pts[5 : 5 + m], pts[5 + m : 5 + 2 * m]
+    w2_h, qs_h = pts[5 + 2 * m : 5 + 3 * m], pts[5 + 3 * m : 5 + 4 * m]
+    c_h, qv_h = pts[5 + 4 * m], pts[5 + 4 * m + 1]
+    hsc = gp.HscProof(
+        hsc_s=[(cms_h[j], (fzs_i[j], ws_h[j])) for j in range(m)],
+        hsc_w=[(s2_i[j], w2_h[j], qs_h[j]) for j in range(m)],
+        hsc_qv=qv_h,
+        hsc_c=c_h,
+        hsc_u=rnd.u % gp.P,
+        hsc_v=rnd.v % gp.P,
     )
     proof = gp.Proof(
         pr_r=r_h,
@@ -123,7 +197,6 @@ def prove(
         pr_s=s_i,
         pr_hsc=hsc,
     )
-    oracle = gp.RndOracle(rnd.y, rnd.z, list(zip(rnd.ys, rnd.zs)))
     return proof, oracle
 
 

@@ -29,15 +29,86 @@ from .srs import SRS
 from . import golden_protocol as gp
 
 
+def hsc_prove_device(
+    srs: SRS, circuit: DeviceCircuit, ys, zs, u_m, v_m, mesh=None
+):
+    """Device compute of hscProve (Signature.hs:32-72): the vmapped
+    s(X, y_j) builds, the batched commit, and the three batched opening
+    families — NO host round-trips (fully traceable, so it runs under the
+    fused prover jit and inside Fiat–Shamir device proving too).
+
+    ys, zs: (m, L) Montgomery challenge stacks, m >= 1. Returns
+    (cms, ws, w2, qs, c, qv [device Jacobians], fzs, s2 [(m, L) Montgomery
+    evaluations]).
+
+    check_hole=False on the commits: s's X^0 coefficient is an explicit
+    zero row by construction (constraints._s_at_y_coeffs — sPoly has no
+    X^0 term, Constraints.hs:34-53), and s(u, Y)'s Y^0 coefficient is
+    structurally absent too, so the reference's g^alpha panic cannot
+    trigger here; skipping the check avoids m blocking device fetches
+    mid-pipeline."""
+    s_coeffs, cms, fzs, ws = hsc_sj_device(srs, circuit, ys, zs, mesh=mesh)
+    c, w2, s2, qs, qv = hsc_cu_device(
+        srs, circuit, s_coeffs, u_m, ys, v_m, mesh=mesh
+    )
+    return cms, ws, w2, qs, c, qv, fzs, s2
+
+
+def hsc_sj_device(srs: SRS, circuit: DeviceCircuit, ys, zs, mesh=None):
+    """The S_j block of hscProve (Signature.hs:40-47): batched s(X, y_j)
+    builds, batched commit, batched opening at z_j. Shared by the
+    interactive prover and the Fiat-Shamir device prover (which must
+    squeeze the u challenge between this block and hsc_cu_device)."""
+    n = circuit.n
+    s_coeffs = s_at_y_batched(circuit, ys)  # (m, 3n+1, L)
+    cms = commit_poly_batched(
+        srs, srs.d, -n, s_coeffs, check_hole=False, mesh=mesh
+    )
+    fzs, ws = open_poly_batched(srs, zs, -n, s_coeffs, mesh=mesh)
+    return s_coeffs, cms, fzs, ws
+
+
+def hsc_cu_device(
+    srs: SRS,
+    circuit: DeviceCircuit,
+    s_coeffs,
+    u_m,
+    ys,
+    v_m,
+    mesh=None,
+    su_y=None,
+    c=None,
+):
+    """The C/u/v block of hscProve (Signature.hs:48-63): commit s(u, Y),
+    open the s(X, y_j) batch at u, open s(u, Y) at each y_j and at v.
+    su_y/c may be passed in when already computed (the Fiat-Shamir prover
+    must commit C and squeeze v before this block can run)."""
+    n = circuit.n
+    m = ys.shape[0]
+    if su_y is None:
+        su_y = s_at_u_of_y(circuit, u_m)
+    if c is None:
+        c = commit_poly(srs, srs.d, su_y, check_hole=False)
+    us = jnp.broadcast_to(u_m, ys.shape)
+    _, w2 = open_poly_batched(srs, us, -n, s_coeffs, mesh=mesh)
+    su_b = jnp.broadcast_to(su_y.coeffs[None], (m,) + su_y.coeffs.shape)
+    s2, qs = open_poly_batched(srs, ys, su_y.offset, su_b, mesh=mesh)
+    _, qv = open_poly(srs, v_m, su_y)
+    return c, w2, s2, qs, qv
+
+
 def hsc_prove(
     srs: SRS, circuit: DeviceCircuit, yzs_m, u_m, v_m, mesh=None
 ) -> gp.HscProof:
     """hscProve (Signature.hs:32-72). yzs_m: list of (y, z) Montgomery limb
     pairs; u_m, v_m: Montgomery limbs. Returns a host-form HscProof.
 
+    All device work runs first (hsc_prove_device — async dispatch, no
+    blocking reads), then the 4m+2 points convert in ONE batched
+    to_affine/fetch and the 2m evaluations in one more.
+
     With `mesh`, the batched commit/opening MSMs data-parallelize over the
     m helper instances (msm_batched's M axis shards across devices)."""
-    n = circuit.n
     m = len(yzs_m)
     if m == 0:
         su_y = s_at_u_of_y(circuit, u_m)
@@ -50,48 +121,32 @@ def hsc_prove(
         )
     ys = jnp.stack([y for y, _ in yzs_m])  # (m, L)
     zs = jnp.stack([z for _, z in yzs_m])
-
-    # s(X, y_j) for all j — one vmapped build; all rows share offset -n.
-    s_coeffs = s_at_y_batched(circuit, ys)  # (m, 3n+1, L)
-
-    # Commitments S_j and openings s_j = s(z_j, y_j)  (Signature.hs:40-47)
-    cms = jacobians_to_host(
-        commit_poly_batched(srs, srs.d, -n, s_coeffs, mesh=mesh)
+    cms, ws, w2, qs, c, qv, fzs, s2 = hsc_prove_device(
+        srs, circuit, ys, zs, u_m, v_m, mesh=mesh
     )
-    fzs, ws = open_poly_batched(srs, zs, -n, s_coeffs, mesh=mesh)
-    ws_host = jacobians_to_host(ws)
-    fzs_int = [int(v) for v in FR.to_int(fzs)]
-    ss = [
-        (cms[j], (fzs_int[j], ws_host[j])) for j in range(m)
-    ]
-
-    # C = commit s(u, Y); openings at u (per j), y_j (per j), v (once)
-    su_y = s_at_u_of_y(circuit, u_m)
-    c = commit_poly(srs, srs.d, su_y)
-    us = jnp.broadcast_to(u_m, ys.shape)
-    _, w2 = open_poly_batched(srs, us, -n, s_coeffs, mesh=mesh)
-    su_b = jnp.broadcast_to(su_y.coeffs[None], (m,) + su_y.coeffs.shape)
-    s2, qs = open_poly_batched(srs, ys, su_y.offset, su_b, mesh=mesh)
-    w2_host = jacobians_to_host(w2)
-    qs_host = jacobians_to_host(qs)
-    s2_int = [int(v) for v in FR.to_int(s2)]
-    sw = [(s2_int[j], w2_host[j], qs_host[j]) for j in range(m)]
-
-    _, qv = open_poly(srs, v_m, su_y)
-    import jax.numpy as _jnp
 
     from .curve.group import Jacobian
 
-    qv_h, c_h = jacobians_to_host(
-        Jacobian(
-            _jnp.stack([qv.x, c.x]),
-            _jnp.stack([qv.y, c.y]),
-            _jnp.stack([qv.z, c.z]),
-        )
+    allj = Jacobian(
+        jnp.concatenate(
+            [cms.x, ws.x, w2.x, qs.x, jnp.stack([c.x, qv.x])], 0
+        ),
+        jnp.concatenate(
+            [cms.y, ws.y, w2.y, qs.y, jnp.stack([c.y, qv.y])], 0
+        ),
+        jnp.concatenate(
+            [cms.z, ws.z, w2.z, qs.z, jnp.stack([c.z, qv.z])], 0
+        ),
     )
+    pts = jacobians_to_host(allj)
+    evs = [int(v) for v in FR.to_int(jnp.concatenate([fzs, s2], 0))]
+    cms_h, ws_h = pts[:m], pts[m : 2 * m]
+    w2_h, qs_h = pts[2 * m : 3 * m], pts[3 * m : 4 * m]
+    c_h, qv_h = pts[4 * m], pts[4 * m + 1]
+    fzs_i, s2_i = evs[:m], evs[m:]
     return gp.HscProof(
-        hsc_s=ss,
-        hsc_w=sw,
+        hsc_s=[(cms_h[j], (fzs_i[j], ws_h[j])) for j in range(m)],
+        hsc_w=[(s2_i[j], w2_h[j], qs_h[j]) for j in range(m)],
         hsc_qv=qv_h,
         hsc_c=c_h,
         hsc_u=int(FR.to_int(u_m)),

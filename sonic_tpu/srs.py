@@ -52,15 +52,36 @@ class SRS:
     # -- generation ----------------------------------------------------------
 
     @classmethod
-    def new(cls, d: int, x: int, alpha: int, mesh=None) -> "SRS":
+    def new(
+        cls,
+        d: int,
+        x: int,
+        alpha: int,
+        mesh=None,
+        h_mode: str = "full",
+        n_hints=(),
+    ) -> "SRS":
         """Trusted setup from trapdoor (x, alpha) — device compute.
 
-        Power ladders by log-depth scan, then each of the 4 tables is a
-        fixed-base windowed multiply (msm/fixed_base.py): ~32 batched
-        gathered adds per point instead of the generic 255-step
-        double-and-add ladder. With `mesh`, the 2d+1 exponent rows shard
-        across devices (embarrassingly parallel — SURVEY.md §2.3, sharded
-        SRS generation).
+        Power ladders by log-depth scan, then each table is a fixed-base
+        windowed multiply (msm/fixed_base.py): ~32 batched gathered adds
+        per point instead of the generic 255-step double-and-add ladder.
+        With `mesh`, the 2d+1 exponent rows shard across devices
+        (embarrassingly parallel — SURVEY.md §2.3, sharded SRS generation).
+
+        h_mode:
+          "full"     — materialize both G2 tables (reference SRS record
+                       parity, SRS.hs:11-22; required for to_host/serial).
+          "verifier" — skip the 2*(2d+1)-point G2 tables entirely: pcV
+                       only ever reads h^{x^{-d+max}} for max in
+                       {n, d}, h^alpha and h^{alpha x}
+                       (CommitmentScheme.hs:58-68), so those few rows are
+                       computed host-side from the trapdoor at setup and
+                       pinned in the row cache. Over half the setup cost
+                       at large d for a table the verifier reads 4 rows
+                       of. Pass every circuit size the SRS will verify in
+                       `n_hints` (the trapdoor is NOT retained, so
+                       missing rows raise).
         """
         from .msm.fixed_base import fixed_base_mul
 
@@ -108,9 +129,24 @@ class SRS:
 
         g_x = table(g1, exps_std)
         g_ax = table(g1, g_aexps_std)
-        h_x = table(g2, exps_std)
-        h_ax = table(g2, h_aexps_std)
-        return cls(d, g_x, g_ax, h_x, h_ax)
+        if h_mode == "full":
+            h_x = table(g2, exps_std)
+            h_ax = table(g2, h_aexps_std)
+            return cls(d, g_x, g_ax, h_x, h_ax)
+        if h_mode != "verifier":
+            raise ValueError(f"unknown h_mode {h_mode!r}")
+        srs = cls(d, g_x, g_ax, None, None)
+        cache = srs._h_cache()
+        P = gp.P
+        for maxm in set(n_hints) | {d}:
+            e = -d + maxm
+            cache[("x", e)] = golden.g2_mul(golden.G2_GEN, pow(x, e, P))
+        cache[("x", 0)] = golden.G2_GEN
+        for e in (0, 1):
+            cache[("ax", e)] = golden.g2_mul(
+                golden.G2_GEN, alpha * pow(x, e, P) % P
+            )
+        return srs
 
     # -- host interop --------------------------------------------------------
 
@@ -151,6 +187,11 @@ class SRS:
     def to_host(self) -> gp.SRS:
         """Download to host (golden) representation for pairing checks and
         serialization round-trips."""
+        if self.h_x is None:
+            raise ValueError(
+                "SRS(h_mode='verifier') has no full h tables; generate "
+                "with h_mode='full' for host interop/serialization"
+            )
         d = self.d
 
         def g1_list(tab, indices):
@@ -211,6 +252,11 @@ class SRS:
         cache = self._h_cache()
         key = ("x", e)
         if key not in cache:
+            if self.h_x is None:
+                raise ValueError(
+                    f"SRS(h_mode='verifier') holds no h^(x^{e}) row; "
+                    "regenerate with this circuit size in n_hints"
+                )
             cache[key] = _g2_row_to_host(self.h_x, e + self.d)
         return cache[key]
 
@@ -218,6 +264,10 @@ class SRS:
         cache = self._h_cache()
         key = ("ax", e)
         if key not in cache:
+            if self.h_ax is None:
+                raise ValueError(
+                    f"SRS(h_mode='verifier') holds no h^(alpha x^{e}) row"
+                )
             cache[key] = _g2_row_to_host(self.h_ax, e + self.d)
         return cache[key]
 
