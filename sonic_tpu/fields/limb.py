@@ -90,6 +90,8 @@ class FieldSpec:
                 limbs = mul(limbs, jnp.asarray(r2, jnp.uint32), self)
             return limbs
         out = np.zeros(arr.shape + (self.nlimbs,), np.uint32)
+        if arr.size == 0:
+            return jnp.asarray(out)
         it = np.nditer(arr, flags=["multi_index", "refs_ok"])
         for x in it:
             val = int(x.item()) % self.modulus

@@ -38,6 +38,100 @@ from .srs import SRS
 from . import golden_protocol as gp
 
 
+def _prove_compute(
+    srs, assignment, circuit, cns_m, y_m, z_m, ys_st, zs_st, u_m, v_m,
+    mesh=None,
+):
+    """The prover's ENTIRE device compute (zkP_1..3 + helper), fully
+    traceable: no host reads, no data-dependent control flow. Returns
+    (allj, scal): a (4m+7,) Jacobian stack [R, T, Wa, Wb, Wt, S_j*m,
+    W_j*m, W'_j*m, Q_j*m, C, Qv] and a (2m+4, L) Montgomery scalar stack
+    [a, b, s(z,y), t_const, s_j*m, s'_j*m].
+
+    t_const is the t-commitment's g^alpha hole value (nonzero exactly
+    when the assignment violates the constraints — the reference's panic,
+    CommitmentScheme.hs:70-73 via SRS.hs:38-39); `prove` checks it after
+    the batched fetch and raises with unchanged semantics."""
+    from .curve.group import Jacobian
+    from .signature import hsc_prove_device
+    from .commitment import open_poly as _open
+    from .constraints import s_at_u_of_y
+
+    n = assignment.n
+    m = ys_st.shape[0]
+    # zkP_1
+    r1 = r_x1_poly(assignment, cns_m)
+    commit_r = commit_poly(srs, n, r1, mesh=mesh)
+    # zkP_2
+    r_y = r_at_y(r1, y_m)
+    s_y = s_at_y(circuit, y_m)
+    k_y = k_at_y(circuit, n, y_m)
+    t_y = laurent.mul(r1, laurent.add(r_y, s_y), mesh=mesh)
+    const_idx = -t_y.offset
+    t_y = Laurent(
+        t_y.offset,
+        t_y.coeffs.at[const_idx].set(
+            limb.sub(t_y.coeffs[const_idx], k_y, FR)
+        ),
+    )
+    t_const_m = t_y.coeffs[const_idx]
+    commit_t = commit_poly(srs, srs.d, t_y, check_hole=False, mesh=mesh)
+    # zkP_3
+    a_m, wa = open_poly(srs, z_m, r1, mesh=mesh)
+    yz_m = limb.mul(y_m, z_m, FR)
+    b_m, wb = open_poly(srs, yz_m, r1, mesh=mesh)
+    _, wt = open_poly(srs, z_m, t_y, mesh=mesh)
+    szy_m = evaluate(s_y, z_m)
+    # helper
+    if m == 0:
+        su_y = s_at_u_of_y(circuit, u_m)
+        c_j = commit_poly(srs, srs.d, su_y, check_hole=False)
+        _, qv = _open(srs, v_m, su_y)
+        empty_pt = jnp.zeros((0,) + commit_r.x.shape, jnp.uint32)
+        cms = ws = w2 = qs = Jacobian(empty_pt, empty_pt, empty_pt)
+        fzs = s2 = jnp.zeros((0, cns_m.shape[-1]), jnp.uint32)
+    else:
+        cms, ws, w2, qs, c_j, qv, fzs, s2 = hsc_prove_device(
+            srs, circuit, ys_st, zs_st, u_m, v_m, mesh=mesh
+        )
+    allj = Jacobian(
+        jnp.concatenate(
+            [
+                jnp.stack([commit_r.x, commit_t.x, wa.x, wb.x, wt.x]),
+                cms.x, ws.x, w2.x, qs.x,
+                jnp.stack([c_j.x, qv.x]),
+            ], 0,
+        ),
+        jnp.concatenate(
+            [
+                jnp.stack([commit_r.y, commit_t.y, wa.y, wb.y, wt.y]),
+                cms.y, ws.y, w2.y, qs.y,
+                jnp.stack([c_j.y, qv.y]),
+            ], 0,
+        ),
+        jnp.concatenate(
+            [
+                jnp.stack([commit_r.z, commit_t.z, wa.z, wb.z, wt.z]),
+                cms.z, ws.z, w2.z, qs.z,
+                jnp.stack([c_j.z, qv.z]),
+            ], 0,
+        ),
+    )
+    scal = jnp.concatenate(
+        [jnp.stack([a_m, b_m, szy_m, t_const_m]), fzs, s2], 0
+    )
+    return allj, scal
+
+
+import jax as _jax
+
+_prove_compute_jit = _jax.jit(
+    lambda srs, asg, cir, cns, y, z, ys, zs, u, v: _prove_compute(
+        srs, asg, cir, cns, y, z, ys, zs, u, v
+    )
+)
+
+
 def prove(
     srs: SRS,
     assignment: DeviceAssignment,
@@ -59,114 +153,53 @@ def prove(
         raise ValueError(
             f"Parameter d is not large enough: {srs.d} should be > {7 * n}"
         )
-    # -- zkP_1: blind & commit r
-    cns_m = FR.from_int(rnd.cns)
-    r1 = r_x1_poly(assignment, cns_m)  # r'(X, 1)
-    commit_r = commit_poly(srs, n, r1, mesh=mesh)
-
-    # -- zkP_2: commit t
-    y_m = FR.from_int(rnd.y)
-    z_m = FR.from_int(rnd.z)
-    r_y = r_at_y(r1, y_m)  # r'(X, y)
-    s_y = s_at_y(circuit, y_m)  # s(X, y)
-    k_y = k_at_y(circuit, n, y_m)  # k(y) scalar
-    t_y = laurent.mul(r1, laurent.add(r_y, s_y), mesh=mesh)
-    const_idx = -t_y.offset
-    t_y = Laurent(
-        t_y.offset,
-        t_y.coeffs.at[const_idx].set(
-            limb.sub(t_y.coeffs[const_idx], k_y, FR)
-        ),
-    )
-    # t's X^0 coefficient is the reference's g^alpha hole check for the t
-    # commitment (nonzero exactly when the assignment violates the
-    # constraints — the heart-of-Sonic identity). Checking it host-side
-    # HERE would be a blocking mid-pipeline fetch; instead it rides the
-    # final batched scalar fetch and raises below with the same semantics.
-    t_const_m = t_y.coeffs[const_idx]
-    commit_t = commit_poly(srs, srs.d, t_y, check_hole=False, mesh=mesh)
-
-    # -- zkP_3: openings
-    a_m, wa = open_poly(srs, z_m, r1, mesh=mesh)
-    yz_m = limb.mul(y_m, z_m, FR)
-    b_m, wb = open_poly(srs, yz_m, r1, mesh=mesh)
-    _, wt = open_poly(srs, z_m, t_y, mesh=mesh)
-    szy_m = evaluate(s_y, z_m)
-
-    # -- helper protocol (device compute only — no host reads yet)
-    from .curve.group import Jacobian
     from .commitment import jacobians_to_host
-    from .signature import hsc_prove_device
 
-    import jax.numpy as _jnp
+    import os as _os
 
     m = len(rnd.ys)
+    cns_m = FR.from_int(rnd.cns)
+    y_m = FR.from_int(rnd.y)
+    z_m = FR.from_int(rnd.z)
     u_m = FR.from_int(rnd.u)
     v_m = FR.from_int(rnd.v)
+    ys_st = FR.from_int(list(rnd.ys))  # (m, L)
+    zs_st = FR.from_int(list(rnd.zs))
     oracle = gp.RndOracle(rnd.y, rnd.z, list(zip(rnd.ys, rnd.zs)))
-    if m == 0:
-        hsc = hsc_prove(srs, circuit, [], u_m, v_m, mesh=mesh)
-        singles = Jacobian(
-            _jnp.stack([commit_r.x, commit_t.x, wa.x, wb.x, wt.x]),
-            _jnp.stack([commit_r.y, commit_t.y, wa.y, wb.y, wt.y]),
-            _jnp.stack([commit_r.z, commit_t.z, wa.z, wb.z, wt.z]),
-        )
-        r_h, t_h, wa_h, wb_h, wt_h = jacobians_to_host(singles)
-        a_i, b_i, s_i, tc_i = (
-            int(v)
-            for v in FR.to_int(_jnp.stack([a_m, b_m, szy_m, t_const_m]))
-        )
-        if tc_i != 0:
-            raise IndexError(
-                "commitPoly: nonzero coefficient at alpha*x^0 (g^alpha is "
-                "not in the SRS)"
-            )
-        return (
-            gp.Proof(r_h, t_h, a_i, wa_h, b_i, wb_h, wt_h, s_i, hsc),
-            oracle,
-        )
 
-    ys_st = _jnp.stack([FR.from_int(yi) for yi in rnd.ys])
-    zs_st = _jnp.stack([FR.from_int(zi) for zi in rnd.zs])
-    cms, ws, w2, qs, c_j, qv, fzs, s2 = hsc_prove_device(
-        srs, circuit, ys_st, zs_st, u_m, v_m, mesh=mesh
+    # Small proofs are dispatch-latency-bound (each jitted phase costs a
+    # tunnel round trip): fuse the ENTIRE device compute into one jitted
+    # program at toy sizes on TPU. Large proofs keep the phase-split
+    # pipeline (compiled phases are shared across shapes; one giant
+    # program would recompile per (n, q, d) class), and CPU keeps it too
+    # (no tunnel to hide — the monolithic compile per shape would dominate
+    # the test suite). SONIC_TPU_FUSE=0/1 overrides.
+    import jax as __jax
+
+    fuse_env = _os.environ.get("SONIC_TPU_FUSE", "auto")
+    fuse = (
+        mesh is None
+        and fuse_env != "0"
+        and (
+            fuse_env == "1"
+            or (n <= 128 and __jax.default_backend() == "tpu")
+        )
     )
+    if fuse:
+        allj, scal = _prove_compute_jit(
+            srs, assignment, circuit, cns_m, y_m, z_m, ys_st, zs_st, u_m, v_m
+        )
+    else:
+        allj, scal = _prove_compute(
+            srs, assignment, circuit, cns_m, y_m, z_m, ys_st, zs_st,
+            u_m, v_m, mesh,
+        )
 
     # ONE batched affine conversion + ONE batched Fr fetch for ALL 4m+7
     # points and 2m+4 scalars of the proof (each host round trip through
     # the device tunnel costs ~35 ms; the r3 prover blocked on ~8 of them)
-    allj = Jacobian(
-        _jnp.concatenate(
-            [
-                _jnp.stack([commit_r.x, commit_t.x, wa.x, wb.x, wt.x]),
-                cms.x, ws.x, w2.x, qs.x,
-                _jnp.stack([c_j.x, qv.x]),
-            ], 0,
-        ),
-        _jnp.concatenate(
-            [
-                _jnp.stack([commit_r.y, commit_t.y, wa.y, wb.y, wt.y]),
-                cms.y, ws.y, w2.y, qs.y,
-                _jnp.stack([c_j.y, qv.y]),
-            ], 0,
-        ),
-        _jnp.concatenate(
-            [
-                _jnp.stack([commit_r.z, commit_t.z, wa.z, wb.z, wt.z]),
-                cms.z, ws.z, w2.z, qs.z,
-                _jnp.stack([c_j.z, qv.z]),
-            ], 0,
-        ),
-    )
     pts = jacobians_to_host(allj)
-    evs = [
-        int(v)
-        for v in FR.to_int(
-            _jnp.concatenate(
-                [_jnp.stack([a_m, b_m, szy_m, t_const_m]), fzs, s2], 0
-            )
-        )
-    ]
+    evs = [int(v) for v in FR.to_int(scal)]
     a_i, b_i, s_i, tc_i = evs[:4]
     if tc_i != 0:
         raise IndexError(

@@ -1,0 +1,76 @@
+"""Fused single-dispatch prover (protocol._prove_compute_jit).
+
+On TPU backends `prove` fuses the whole device compute into one jitted
+program at toy sizes (dispatch-latency optimization for the tunnel); on
+CPU the phase-split pipeline is the default. This test forces the fused
+path (SONIC_TPU_FUSE=1) on one small fixed shape and bit-compares against
+the golden prover, including the m=0 helper edge and the
+unsatisfied-assignment IndexError contract.
+"""
+import dataclasses
+import os
+import random
+
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _force_fuse():
+    os.environ["SONIC_TPU_FUSE"] = "1"
+    yield
+    os.environ.pop("SONIC_TPU_FUSE", None)
+
+
+def test_fused_prove_matches_golden():
+    from sonic_tpu import golden_protocol as gp
+    from sonic_tpu import protocol
+    from sonic_tpu.circuit import random_circuit
+    from sonic_tpu.constraints import DeviceAssignment, DeviceCircuit
+    from sonic_tpu.srs import SRS
+
+    rng = random.Random(31)
+    circuit, assignment = random_circuit(rng, n=4, q=3)
+    host_srs = gp.SRS.new(
+        34, x=rng.randrange(2, gp.P), alpha=rng.randrange(2, gp.P)
+    )
+    srs = SRS.from_host(host_srs)
+    rnd = gp.Randomness.generate(rng, m=3)
+    golden_proof, oracle = gp.prove(host_srs, assignment, circuit, rnd)
+    proof, _ = protocol.prove(
+        srs,
+        DeviceAssignment.from_host(assignment),
+        DeviceCircuit.from_host(circuit),
+        rnd,
+    )
+    assert proof == golden_proof
+    assert protocol.verify(
+        srs,
+        DeviceCircuit.from_host(circuit),
+        proof,
+        oracle.y,
+        oracle.z,
+        oracle.yzs,
+    )
+
+    # m = 0 helper edge
+    rnd0 = gp.Randomness.generate(rng, m=0)
+    g0, _ = gp.prove(host_srs, assignment, circuit, rnd0)
+    d0, _ = protocol.prove(
+        srs,
+        DeviceAssignment.from_host(assignment),
+        DeviceCircuit.from_host(circuit),
+        rnd0,
+    )
+    assert d0 == g0
+
+    # unsatisfied assignment -> the reference's g^alpha panic semantics
+    bad = dataclasses.replace(
+        assignment, aO=[(a + 1) % gp.P for a in assignment.aO]
+    )
+    with pytest.raises(IndexError, match="alpha"):
+        protocol.prove(
+            srs,
+            DeviceAssignment.from_host(bad),
+            DeviceCircuit.from_host(circuit),
+            rnd,
+        )
