@@ -119,12 +119,65 @@ def ntt_batched(coeffs: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
     return _ntt_batched_jit(coeffs, _twiddles(n, inverse), n, inverse)
 
 
+# Above this size the monolithic unrolled-stage jit program is large
+# enough to choke the (remote) XLA compiler — measured: 2^18 compiles in
+# ~1 min, 2^20 hangs the axon compile service. The four-step variant
+# below recombines small compiled pieces instead.
+_FOUR_STEP_MIN = 1 << 19
+
+
+@partial(jax.jit, static_argnames=("R", "Cc", "n", "inverse"))
+def _four_step_mid(a, wbase, R: int, Cc: int, n: int, inverse: bool):
+    """Twiddle pass of the four-step NTT: a[k1, n2] *= w_N^(k1*n2)
+    (1/N folded in for the inverse). The (R, Cc) twiddle grid is built
+    with a log-depth ladder per row — NOT a gather (per-row dynamic
+    addressing is pathological on TPU, BENCH_NOTES.md)."""
+    zb = jnp.broadcast_to(wbase[:, None, :], (R, Cc - 1, C.FR_LIMBS))
+    ladder = jax.lax.associative_scan(
+        lambda x, y: limb.mul(x, y, FR), zb, axis=1
+    )
+    one = jnp.broadcast_to(FR.from_int(1), (R, 1, C.FR_LIMBS))
+    tw = jnp.concatenate([one, ladder], axis=1)  # (R, Cc, L)
+    if inverse:
+        n_inv = FR.from_int(pow(n, -1, C.R_MOD))
+        tw = limb.mul(tw, n_inv, FR)
+    return limb.mul(a, tw, FR)
+
+
+def _ntt_four_step(coeffs: jnp.ndarray, inverse: bool) -> jnp.ndarray:
+    """Single-device four-step NTT (same math as the mesh-sharded variant
+    in parallel/ntt_sharded.py, with the all-to-all replaced by a local
+    transpose): N = R x C; length-R column NTTs, twiddle by w_N^(k1*n2),
+    transpose, length-C row NTTs; out[k1, k2] = X[k1 + R*k2]. Reuses the
+    small batched-NTT programs instead of one 2 log N-stage monolith."""
+    n = coeffs.shape[0]
+    logn = n.bit_length() - 1
+    R = 1 << (logn // 2)
+    Cc = n // R
+    x = coeffs.reshape(R, Cc, C.FR_LIMBS)
+    a = ntt_batched(x, inverse)  # length-R NTTs down the columns
+    # per-row twiddle bases w_N^{k1}
+    w = root_of_unity(logn)
+    if inverse:
+        w = pow(w, -1, C.R_MOD)
+    wbase = limb.powers(FR.from_int(w), FR, R)  # (R, L)
+    a = _four_step_mid(a, wbase, R, Cc, n, inverse)
+    a = jnp.moveaxis(a, 1, 0)  # transpose -> (C, R, L)
+    a = ntt_batched(a, inverse)  # length-C NTTs
+    # a[k2, k1] = X[k1 + R*k2]  ->  flatten in (k2, k1) order is in-order X
+    return a.reshape(n, C.FR_LIMBS)
+
+
 def ntt(coeffs: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
     """In-order NTT of (N, L) Montgomery coefficients, N a power of two."""
     n = coeffs.shape[0]
     assert n & (n - 1) == 0, "NTT size must be a power of two"
     if n == 1:
         return coeffs
+    if n >= _FOUR_STEP_MIN:
+        out = _ntt_four_step(coeffs, inverse)
+        # 1/N is folded into the twiddle pass for the inverse
+        return out
     out = _ntt_jit(coeffs, _twiddles(n, inverse), n, inverse)
     if inverse:
         n_inv = FR.from_int(pow(n, -1, C.R_MOD))
