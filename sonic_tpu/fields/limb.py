@@ -422,7 +422,36 @@ def to_mont(a, spec: FieldSpec):
 
 
 def from_mont(a, spec: FieldSpec):
+    """Montgomery -> standard form (one REDC), canonical.
+
+    from_mont(a) == mul(a, raw-1) (a*1*R^-1), so large batches ride the
+    fused Pallas kernel on TPU; the jnp REDC fallback chunks the batch so
+    its (L, L, batch) partial-product intermediate never exceeds ~256 MB
+    (a (512, 3073)-coefficient commit batch used to materialize 16 GB)."""
+    from . import pallas_mul
+
     L = spec.nlimbs
+    flat = 1
+    for d in a.shape[:-1]:
+        flat *= d
+    if pallas_mul.wants_pallas(flat) and jax.default_backend() == "tpu":
+        one_raw = jnp.zeros((L,), jnp.uint32).at[0].set(1)
+        return pallas_mul.mont_mul(a, one_raw, spec)
+    chunk = 1 << 16
+    if flat > chunk and not isinstance(a, jax.core.Tracer):
+        out_parts = []
+        a2 = a.reshape(flat, L)
+        for s in range(0, flat, chunk):
+            part = a2[s : s + chunk]
+            t = jnp.concatenate(
+                [
+                    _to_lm(part),
+                    jnp.zeros((L,) + part.shape[:-1], jnp.uint32),
+                ],
+                axis=0,
+            )
+            out_parts.append(_from_lm(_redc_lm(t, spec)))
+        return jnp.concatenate(out_parts, 0).reshape(a.shape)
     t = jnp.concatenate(
         [_to_lm(a), jnp.zeros((L,) + a.shape[:-1], jnp.uint32)], axis=0
     )

@@ -180,9 +180,11 @@ def evaluate(p: Laurent, z) -> jnp.ndarray:
 
 
 @jax.jit
-def _div_linear_jit(chat, z):
+def _div_linear_seq(chat, z):
     """Exact division of the ordinary polynomial chat (degree D-1, with
-    chat(z) == 0) by (X - z): top-down synthetic division as a scan."""
+    chat(z) == 0) by (X - z): top-down synthetic division as a sequential
+    scan. Kept as the oracle for the log-depth variant below (and for a
+    z = 0 divisor, which the closed form cannot handle)."""
     D = chat.shape[0]
 
     # w_{D-2} = c_{D-1};  w_{i-1} = c_i + z * w_i   for i = D-2 .. 1
@@ -196,6 +198,46 @@ def _div_linear_jit(chat, z):
     # ws_rev holds [w_{D-2}, ..., w_1] in scan order; last == w_0
     ws = jnp.concatenate([last[None], ws_rev[::-1]], 0)
     return ws
+
+
+def _powers_leading(z, count: int):
+    """[z^0 .. z^(count-1)] along a NEW leading axis; z may itself be
+    batched (..., L) — unlike limb.powers, which is unbatched-only."""
+    one = jnp.broadcast_to(FR.from_int(1), z.shape)
+    if count == 1:
+        return one[None]
+    zb = jnp.broadcast_to(z, (count - 1,) + z.shape)
+    lad = jax.lax.associative_scan(
+        lambda x, y: limb.mul(x, y, FR), zb, axis=0
+    )
+    return jnp.concatenate([one[None], lad], 0)
+
+
+@jax.jit
+def _div_linear_jit(chat, z):
+    """Synthetic division quotient, scan-free: the recurrence
+    w_{i-1} = c_i + z*w_i with constant z has the closed form
+        w_{D-2-j} = z^j * sum_{k<=j} c_{D-1-k} * z^-k,
+    i.e. two log-depth power ladders + one log-depth prefix sum — instead
+    of a (D-2)-step sequential scan. REQUIRES z != 0 (true for every
+    protocol divisor: challenges are sampled from [1, r)).
+
+    Motivation beyond speed: vmapping the sequential scan at shape
+    (64, 8192, L) miscompiles on the axon TPU backend (wrong low-half
+    quotients, host-checked); the associative form both avoids the bug
+    and turns the prover's ~8k-step scans into ~13 batched rounds.
+    chat: (D, ..., L) coefficient-leading layout; z: (..., L)."""
+    D = chat.shape[0]
+    crev = chat[::-1][: D - 1]  # c_{D-1}, c_{D-2}, ..., c_1
+    zinv = limb.inv(z, FR)
+    zinv_lad = _powers_leading(zinv, D - 1)
+    z_lad = _powers_leading(z, D - 1)
+    t = limb.mul(crev, zinv_lad, FR)
+    s = jax.lax.associative_scan(
+        lambda x, y: limb.add(x, y, FR), t, axis=0
+    )
+    u = limb.mul(s, z_lad, FR)  # u_j = w_{D-2-j}
+    return u[::-1]
 
 
 def div_by_linear(p: Laurent, z, fz=None) -> tuple[jnp.ndarray, Laurent]:
@@ -292,5 +334,11 @@ def div_by_linear_batched(
     chat = coeffs.at[:, const_pos].set(
         limb.sub(coeffs[:, const_pos], fz, FR)
     )
-    ws = jax.vmap(_div_linear_jit)(_pad_pow2_batch(chat), zs)
+    # batched directly through the coefficient-leading layout (the
+    # scan-free _div_linear_jit broadcasts over trailing batch axes; NOT
+    # vmap of a sequential scan, which miscompiles on the axon TPU
+    # backend at (64, 8192, L) — see _div_linear_jit)
+    ws = jnp.moveaxis(
+        _div_linear_jit(jnp.moveaxis(_pad_pow2_batch(chat), 0, 1), zs), 1, 0
+    )
     return fz, ws[:, : D - 1]
