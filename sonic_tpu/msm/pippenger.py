@@ -356,6 +356,24 @@ def _window_combine(group: GroupOps, totals: Jacobian, c: int) -> Jacobian:
     return res
 
 
+@partial(jax.jit, static_argnums=(0, 2))
+def _msm_tail(group: GroupOps, buckets: Jacobian, c: int) -> Jacobian:
+    """Fused tail: lane fold + bucket weighted sum + window combine as ONE
+    jitted program (three separate dispatches cost ~120 ms of a 420 ms
+    2^16 MSM on the tunnel backend — BENCH_NOTES.md phase split)."""
+    folded = _fold_lanes(group, buckets)
+    totals = _bucket_weighted_sum(group, folded)
+    return _window_combine(group, totals, c)
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def _msm_tail_batched(group: GroupOps, buckets: Jacobian, c: int) -> Jacobian:
+    """Vmapped fused tail for the batched MSM pipelines."""
+    folded = jax.vmap(lambda b: _fold_lanes(group, b))(buckets)
+    totals = jax.vmap(lambda b: _bucket_weighted_sum(group, b))(folded)
+    return jax.vmap(lambda t: _window_combine(group, t, c))(totals)
+
+
 def _pad_pow2_points(points: Affine, scalars_std: jnp.ndarray, scalar_axis=0):
     """Pad point/scalar count N to a power of two. Zero scalars contribute
     nothing (digit-0 trash bucket) and infinity points are absorbed by
@@ -412,9 +430,7 @@ def msm(
     pdig = digs.reshape(K, steps, W)
 
     buckets = _accumulate_buckets(group, pts, pdig, nbuckets, signed)
-    buckets = _fold_lanes(group, buckets)  # (W, B, ...)
-    totals = _bucket_weighted_sum(group, buckets)
-    return _window_combine(group, totals, c)
+    return _msm_tail(group, buckets, c)
 
 
 def msm_batched(
@@ -511,11 +527,7 @@ def msm_batched(
             )
             pdig = digs.reshape(m_p, kp, n_pad // kp, W)
             buckets = accumulate_batched_pallas(pts_k, pdig, nbuckets)
-            buckets = jax.vmap(lambda b: _fold_lanes(group, b))(buckets)
-            totals = jax.vmap(lambda b: _bucket_weighted_sum(group, b))(
-                buckets
-            )
-            out = jax.vmap(lambda t: _window_combine(group, t, c))(totals)
+            out = _msm_tail_batched(group, buckets, c)
             if m_p != m:
                 out = jax.tree.map(lambda a: a[:m], out)
             return out
@@ -541,9 +553,7 @@ def msm_batched(
             group, pts, d, nbuckets, signed, allow_pallas=False
         )
     )(pdig)  # (M, K, W, B)
-    buckets = jax.vmap(lambda b: _fold_lanes(group, b))(buckets)  # (M, W, B)
-    totals = jax.vmap(lambda b: _bucket_weighted_sum(group, b))(buckets)
-    out = jax.vmap(lambda t: _window_combine(group, t, c))(totals)
+    out = _msm_tail_batched(group, buckets, c)
     if m_pad != m:
         out = jax.tree.map(lambda a: a[:m], out)
     return out
