@@ -88,3 +88,19 @@ def test_mont_roundtrip(rng, spec, mod):
     m = limb.to_mont(raw, spec)
     back = limb.from_mont(m, spec)
     assert list(spec.to_int(back, mont=False)) == a
+
+
+@pytest.mark.parametrize("spec,mod", SPECS, ids=["Fr", "Fq"])
+def test_pallas_mont_mul_bit_exact(rng, spec, mod):
+    """Interpret-mode run of the Pallas Montgomery kernel vs the jnp limb
+    path — the kernel's column-direct convolution must stay bit-identical
+    to limb._mul_lm (same column arithmetic, reordered sums)."""
+    from sonic_tpu.fields.pallas_mul import mont_mul
+
+    n = 700  # > one PANEL, non-multiple: exercises padding
+    a = _rand_elems(rng, mod, n - 3) + [0, 1, mod - 1]
+    b = _rand_elems(rng, mod, n - 3) + [mod - 1, 0, mod - 1]
+    A, B = spec.from_int(a), spec.from_int(b)
+    want = limb.mul(A, B, spec)
+    got = mont_mul(A, B, spec, interpret=True)
+    assert np.array_equal(np.asarray(want), np.asarray(got))
