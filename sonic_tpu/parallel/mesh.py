@@ -115,7 +115,14 @@ def msm_sharded(
     )
     pdig = shard_leading(digs.reshape(K, steps, W), mesh, axis)
 
-    buckets = pippenger._accumulate_buckets(group, pts, pdig, nbuckets, signed)
+    # allow_pallas=False: the Pallas accumulate kernel assumes a single
+    # unsharded 128-lane grid; under GSPMD sharding the K = lanes*ndev
+    # axis can hit the kernel's dispatch condition (e.g. 16 devices x 8
+    # lanes) with per-device shapes it was never built for. The dense jnp
+    # scan partitions correctly and is bit-identical.
+    buckets = pippenger._accumulate_buckets(
+        group, pts, pdig, nbuckets, signed, allow_pallas=False
+    )
     buckets = _fold_local_lanes(group, buckets, ndev)  # (ndev, W, B)
     buckets = pippenger._fold_lanes(group, buckets)  # cross-device
     totals = pippenger._bucket_weighted_sum(group, buckets)

@@ -130,12 +130,25 @@ def _conv_coeffs(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 _NTT_THRESHOLD = 64 * 64
 
 
+def _ntt_threshold() -> int:
+    """Pairwise-product count above which NTT multiplication is used.
+
+    Env-overridable (SONIC_TPU_NTT_THRESHOLD) so small-shape harness runs
+    — e.g. the driver's multichip dryrun — can exercise the NTT paths
+    (including the mesh-sharded four-step) without paying full-size
+    compiles."""
+    import os
+
+    v = os.environ.get("SONIC_TPU_NTT_THRESHOLD")
+    return int(v) if v else _NTT_THRESHOLD
+
+
 def mul(p: Laurent, q: Laurent, mesh=None) -> Laurent:
     """Polynomial product. With `mesh`, large products run the four-step
     mesh-sharded NTT (all-to-all butterfly exchange over the device mesh);
     falls back to the single-device path when the transform is too small
     to split R x C over the mesh."""
-    if mesh is not None and p.length * q.length >= _NTT_THRESHOLD:
+    if mesh is not None and p.length * q.length >= _ntt_threshold():
         from ..parallel.ntt_sharded import poly_mul_ntt_sharded, splittable
 
         out_len = p.length + q.length - 1
@@ -144,7 +157,7 @@ def mul(p: Laurent, q: Laurent, mesh=None) -> Laurent:
                 p.offset + q.offset,
                 poly_mul_ntt_sharded(p.coeffs, q.coeffs, mesh),
             )
-    if p.length * q.length >= _NTT_THRESHOLD:
+    if p.length * q.length >= _ntt_threshold():
         from .ntt import poly_mul_ntt
 
         return Laurent(p.offset + q.offset, poly_mul_ntt(p.coeffs, q.coeffs))
@@ -304,7 +317,7 @@ def add_batched(
 def mul_batched(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Batched full product: (M, Da, L) x (M, Db, L) -> (M, Da+Db-1, L)
     (offsets add, handled by the caller). NTT above the threshold."""
-    if a.shape[1] * b.shape[1] >= _NTT_THRESHOLD:
+    if a.shape[1] * b.shape[1] >= _ntt_threshold():
         from .ntt import poly_mul_ntt
 
         return jax.vmap(poly_mul_ntt)(a, b)

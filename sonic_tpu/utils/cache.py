@@ -1,0 +1,69 @@
+"""Machine-keyed JAX compilation-cache location.
+
+The persistent compilation cache stores XLA:CPU AOT results that embed the
+*compile* machine's CPU feature set; loading them on a host with different
+features is rejected (or worse, risks SIGILL — the loader warns exactly
+that). Benchmarks run on the TPU-tunnel host while tests/dryruns may run
+elsewhere, so one shared cache directory poisons every other machine's
+runs with feature-mismatch errors. Key the directory by a fingerprint of
+the local CPU instead: each machine warms and reuses only its own entries.
+
+No counterpart in the reference (it has no compile cache); this is
+TPU-framework operational hygiene.
+"""
+from __future__ import annotations
+
+import hashlib
+import os
+import platform
+
+
+def machine_fingerprint() -> str:
+    """Short stable hash of the host's CPU feature set + arch."""
+    parts = [platform.machine(), platform.system()]
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    parts.append(line.strip())
+                    break
+    except OSError:
+        parts.append(platform.processor() or "unknown")
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:12]
+
+
+def cache_dir(base: str = "/root/.cache/jax-sonic") -> str:
+    """Machine-keyed compilation cache directory (honors an explicit
+    JAX_COMPILATION_CACHE_DIR already present in the environment)."""
+    explicit = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if explicit:
+        return explicit
+    return f"{base}-{machine_fingerprint()}"
+
+
+def configure_jax_cache(min_compile_secs: float = 0.1) -> str:
+    """Point jax's persistent compilation cache at the machine-keyed dir.
+
+    Must run after `import jax` but before any compilation. Returns the
+    directory used.
+
+    min_compile_secs: persistence threshold. CPU runs (tests, the
+    multichip dryrun) should pass ~2.0: XLA:CPU stamps scatter/gather
+    programs with +prefer-no-scatter/+prefer-no-gather target features
+    that its own AOT loader then rejects as "unsupported by the host"
+    (spurious — they are tuning flags, not CPU features), so persisting
+    those small fast-compiling entries only buys a load-error + recompile
+    on every later run. Programs that take seconds to compile (the curve
+    scan pipelines) contain no scatter and still cache. TPU runs keep the
+    default low threshold — remote tunnel compiles are expensive and the
+    TPU paths are scatter-free by design.
+    """
+    import jax
+
+    path = cache_dir()
+    os.environ["JAX_COMPILATION_CACHE_DIR"] = path
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      min_compile_secs)
+    return path

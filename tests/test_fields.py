@@ -101,6 +101,10 @@ def test_pallas_mont_mul_bit_exact(rng, spec, mod):
     a = _rand_elems(rng, mod, n - 3) + [0, 1, mod - 1]
     b = _rand_elems(rng, mod, n - 3) + [mod - 1, 0, mod - 1]
     A, B = spec.from_int(a), spec.from_int(b)
-    want = limb.mul(A, B, spec)
+    # Oracle pinned to the jnp limb path directly: limb.mul itself
+    # dispatches to this same Pallas kernel at batch >= MIN_BATCH when
+    # SONIC_TPU_PALLAS=1 / on TPU, which would make the comparison
+    # kernel-vs-itself exactly in the configs that matter (ADVICE r4).
+    want = limb._from_lm(limb._mul_lm(limb._to_lm(A), limb._to_lm(B), spec))
     got = mont_mul(A, B, spec, interpret=True)
     assert np.array_equal(np.asarray(want), np.asarray(got))

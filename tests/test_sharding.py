@@ -29,3 +29,35 @@ def test_msm_sharded_matches(rng):
     got = _g1_to_host(g1.to_affine(res_sharded))[0]
     expect = golden.g1_msm(pts, scalars)
     assert got == expect
+
+
+def test_msm_sharded_never_selects_pallas(rng, monkeypatch):
+    """msm_sharded must force the dense accumulate (allow_pallas=False):
+    at K = lanes*ndev = 128 the Pallas kernel's dispatch condition would
+    otherwise fire under GSPMD sharding, where pallas_call is not
+    partitionable (VERDICT r4 weak #5)."""
+    from sonic_tpu.msm import pippenger
+
+    seen = {}
+    orig = pippenger._accumulate_buckets
+
+    def spy(group, points, digits, nbuckets, signed=False, allow_pallas=True):
+        seen["allow_pallas"] = allow_pallas
+        seen["K"] = digits.shape[0]
+        return orig(group, points, digits, nbuckets, signed, allow_pallas)
+
+    monkeypatch.setattr(pippenger, "_accumulate_buckets", spy)
+
+    n = 16
+    ks = [rng.randrange(1, R_MOD) for _ in range(n)]
+    pts = [golden.g1_mul(golden.G1_GEN, k) for k in ks]
+    scalars = [rng.randrange(R_MOD) for _ in range(n)]
+    mesh = make_mesh(8)
+    res = msm_sharded(
+        g1, _aff_g1(pts), FR.from_int(scalars, mont=False), mesh,
+        c=4, lanes_per_device=16,  # K = 128: the Pallas dispatch shape
+    )
+    assert seen["K"] == 128
+    assert seen["allow_pallas"] is False
+    got = _g1_to_host(g1.to_affine(res))[0]
+    assert got == golden.g1_msm(pts, scalars)
