@@ -421,6 +421,18 @@ def to_mont(a, spec: FieldSpec):
     return mul(a, jnp.asarray(spec.r2_limbs), spec)
 
 
+@partial(jax.jit, static_argnames="spec")
+def _from_mont_jnp(a, spec: FieldSpec):
+    # One jitted program per (shape, spec): the REDC expands to hundreds
+    # of limb-panel ops, and running them eagerly cost ~10 s of trace +
+    # per-op dispatch PER CALL on the CPU dryrun/test path.
+    L = spec.nlimbs
+    t = jnp.concatenate(
+        [_to_lm(a), jnp.zeros((L,) + a.shape[:-1], jnp.uint32)], axis=0
+    )
+    return _from_lm(_redc_lm(t, spec))
+
+
 def from_mont(a, spec: FieldSpec):
     """Montgomery -> standard form (one REDC), canonical.
 
@@ -430,32 +442,23 @@ def from_mont(a, spec: FieldSpec):
     (a (512, 3073)-coefficient commit batch used to materialize 16 GB)."""
     from . import pallas_mul
 
-    L = spec.nlimbs
     flat = 1
     for d in a.shape[:-1]:
         flat *= d
     if pallas_mul.wants_pallas(flat) and jax.default_backend() == "tpu":
+        L = spec.nlimbs
         one_raw = jnp.zeros((L,), jnp.uint32).at[0].set(1)
         return pallas_mul.mont_mul(a, one_raw, spec)
     chunk = 1 << 16
     if flat > chunk and not isinstance(a, jax.core.Tracer):
-        out_parts = []
+        L = spec.nlimbs
         a2 = a.reshape(flat, L)
-        for s in range(0, flat, chunk):
-            part = a2[s : s + chunk]
-            t = jnp.concatenate(
-                [
-                    _to_lm(part),
-                    jnp.zeros((L,) + part.shape[:-1], jnp.uint32),
-                ],
-                axis=0,
-            )
-            out_parts.append(_from_lm(_redc_lm(t, spec)))
+        out_parts = [
+            _from_mont_jnp(a2[s : s + chunk], spec)
+            for s in range(0, flat, chunk)
+        ]
         return jnp.concatenate(out_parts, 0).reshape(a.shape)
-    t = jnp.concatenate(
-        [_to_lm(a), jnp.zeros((L,) + a.shape[:-1], jnp.uint32)], axis=0
-    )
-    return _from_lm(_redc_lm(t, spec))
+    return _from_mont_jnp(a, spec)
 
 
 @partial(jax.jit, static_argnames="spec")

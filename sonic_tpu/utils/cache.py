@@ -47,16 +47,15 @@ def configure_jax_cache(min_compile_secs: float = 0.1) -> str:
     Must run after `import jax` but before any compilation. Returns the
     directory used.
 
-    min_compile_secs: persistence threshold. CPU runs (tests, the
-    multichip dryrun) should pass ~2.0: XLA:CPU stamps scatter/gather
-    programs with +prefer-no-scatter/+prefer-no-gather target features
-    that its own AOT loader then rejects as "unsupported by the host"
-    (spurious — they are tuning flags, not CPU features), so persisting
-    those small fast-compiling entries only buys a load-error + recompile
-    on every later run. Programs that take seconds to compile (the curve
-    scan pipelines) contain no scatter and still cache. TPU runs keep the
-    default low threshold — remote tunnel compiles are expensive and the
-    TPU paths are scatter-free by design.
+    min_compile_secs: persistence threshold. Keep it low everywhere: a
+    warm CPU dryrun/test run otherwise re-pays ~70 s of sub-threshold
+    recompiles (900+ small programs per mesh prove). Known cosmetic
+    quirk: XLA:CPU stamps scatter/gather programs with
+    +prefer-no-scatter/+prefer-no-gather target features that its own
+    AOT loader then rejects as "unsupported by the host" (spurious —
+    they are tuning flags, not CPU features); those few entries log an
+    error and recompile, which no threshold value avoids (the big
+    scatter program compiles in >2 s regardless).
     """
     import jax
 

@@ -21,7 +21,11 @@ jax.config.update("jax_platforms", "cpu")
 # Machine-keyed cache dir: XLA:CPU AOT entries embed the compile machine's
 # CPU features and must never be loaded on a different host (VERDICT r4
 # weak #4 — cross-machine cache reuse produced loader errors everywhere).
-configure_jax_cache(min_compile_secs=2.0)
+# Persist nearly everything: a warm CPU run otherwise re-pays ~70 s of
+# sub-threshold recompiles (900+ small programs), and the threshold never
+# prevented the known spurious prefer-no-scatter reloads anyway (that
+# program compiles in >2 s regardless).
+configure_jax_cache(min_compile_secs=0.15)
 
 
 @pytest.fixture
