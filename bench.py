@@ -488,10 +488,17 @@ def _bench_ntt(n: int):
     b = FR.from_int([int(v) for v in rng.integers(1, 1 << 62, size=half)])
     out = poly_mul_ntt(a, b)  # warm
     _sync(out)
-    t0 = time.perf_counter()
-    out = poly_mul_ntt(a, b)
-    _sync(out)
-    return {f"ntt_mul_{n}_s": round(time.perf_counter() - t0, 3)}
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = poly_mul_ntt(a, b)
+        _sync(out)
+        samples.append(time.perf_counter() - t0)
+    med, mn = _stats(samples)
+    return {
+        f"ntt_mul_{n}_s": round(med, 3),
+        f"ntt_mul_{n}_min_s": round(mn, 3),
+    }
 
 
 def main() -> None:
