@@ -212,7 +212,9 @@ def _bench_example_circuit(maker, name: str, iters: int, host_too: bool):
     dc = DeviceCircuit.from_host(circuit)
     da = DeviceAssignment.from_host(assignment)
 
+    t0 = time.perf_counter()
     proof, oracle = protocol.prove(srs, da, dc, rnd)  # warm compile
+    t_first = time.perf_counter() - t0  # fused-prover compile (or cache load)
     tp = []
     for _ in range(iters):
         t0 = time.perf_counter()
@@ -232,6 +234,7 @@ def _bench_example_circuit(maker, name: str, iters: int, host_too: bool):
     out = {
         f"{name}_prove_s": round(p_med, 4),
         f"{name}_prove_min_s": round(p_min, 4),
+        f"{name}_prove_first_call_s": round(t_first, 2),
         f"{name}_verify_ms": round(v_med * 1e3, 2),
         f"{name}_verify_min_ms": round(v_min * 1e3, 2),
     }

@@ -65,4 +65,16 @@ def configure_jax_cache(min_compile_secs: float = 0.1) -> str:
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs",
                       min_compile_secs)
+    # Pallas kernels serialize their MLIR with full-traceback locations
+    # into the tpu_custom_call backend_config. The persistent-cache key
+    # canonicalizes (strips debug info from) the OUTER module but cannot
+    # reach inside that opaque payload, so caller file:line drift — a
+    # different bench phase, an edited script — changes the key and
+    # forces a full recompile of every pallas-bearing program (measured:
+    # the ~320 s fused-prover compile re-paid per bench variant).
+    # Single-frame locations point at the kernel source itself, which is
+    # stable across callers. SONIC_TPU_FULL_LOCS=1 restores full
+    # tracebacks for debugging.
+    if not os.environ.get("SONIC_TPU_FULL_LOCS"):
+        jax.config.update("jax_include_full_tracebacks_in_locations", False)
     return path
