@@ -88,16 +88,30 @@ def _apply_table(group: GroupOps, table: Affine, digits: jnp.ndarray):
 
 
 def fixed_base_mul(
-    group: GroupOps, scalars_std: jnp.ndarray, c: int = DEFAULT_C
+    group: GroupOps,
+    scalars_std: jnp.ndarray,
+    c: int = DEFAULT_C,
+    max_chunk: int = 1 << 16,
 ) -> Jacobian:
     """scalars (N, L) standard-form limbs -> (N,) Jacobian batch of
     s_i * generator.
 
     N pads to a power of two (>= 256) so _apply_table compiles per
-    size-class, not per exact size (SRS tables are 2d+1 — always odd)."""
+    size-class, not per exact size (SRS tables are 2d+1 — always odd).
+    Above `max_chunk` rows the batch splits into max_chunk-row chunks
+    sharing ONE compiled program: a config-3-scale SRS table (2d+1 ~ 2^20
+    rows) otherwise lowers a fresh giant program whose remote compile
+    dwarfs — and on the tunnel service, sometimes outright hangs — the
+    actual device work."""
     from ..fields import constants as C
 
     n = scalars_std.shape[0]
+    if n > max_chunk:
+        outs = [
+            fixed_base_mul(group, scalars_std[i : i + max_chunk], c, max_chunk)
+            for i in range(0, n, max_chunk)
+        ]
+        return jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *outs)
     n_pad = 256
     while n_pad < n:
         n_pad *= 2

@@ -84,22 +84,34 @@ class SRS:
                        missing rows raise).
         """
         from .msm.fixed_base import fixed_base_mul
+        from .utils.log import get_logger, phase_timer
+
+        log = get_logger("srs")
+
+        def _force(a):
+            # opt-in timing fence: one-element fetch per logged phase
+            # (block_until_ready lies on the tunnel backend)
+            if log.mode and log.mode not in ("0", "off", "none"):
+                np.asarray(a).ravel()[:1]
 
         x_m = FR.from_int(x)
         alpha_m = FR.from_int(alpha)
         xinv_m = limb.inv(x_m, FR)
 
-        pos = limb.powers(x_m, FR, d + 1)  # x^0..x^d
-        neg = limb.powers(xinv_m, FR, d + 1)[1:]  # x^-1..x^-d
-        exps = jnp.concatenate([neg[::-1], pos], 0)  # x^-d .. x^d  (2d+1, L)
-        aexps = limb.mul(exps, alpha_m, FR)
-        # g^alpha (e=0 slot) is omitted from the G1 alpha table -> scalar 0
-        # -> point at infinity; h^alpha IS present (SRS.hs:38-41).
-        g_aexps = aexps.at[d].set(jnp.zeros_like(aexps[d]))
+        with phase_timer(log, "srs.powers", d=d):
+            pos = limb.powers(x_m, FR, d + 1)  # x^0..x^d
+            neg = limb.powers(xinv_m, FR, d + 1)[1:]  # x^-1..x^-d
+            exps = jnp.concatenate([neg[::-1], pos], 0)  # x^-d..x^d (2d+1, L)
+            aexps = limb.mul(exps, alpha_m, FR)
+            # g^alpha (e=0 slot) is omitted from the G1 alpha table ->
+            # scalar 0 -> point at infinity; h^alpha IS present
+            # (SRS.hs:38-41).
+            g_aexps = aexps.at[d].set(jnp.zeros_like(aexps[d]))
 
-        exps_std = limb.from_mont(exps, FR)
-        g_aexps_std = limb.from_mont(g_aexps, FR)
-        h_aexps_std = limb.from_mont(aexps, FR)
+            exps_std = limb.from_mont(exps, FR)
+            g_aexps_std = limb.from_mont(g_aexps, FR)
+            h_aexps_std = limb.from_mont(aexps, FR)
+            _force(h_aexps_std)
 
         rows = 2 * d + 1
         if mesh is not None:
@@ -119,19 +131,21 @@ class SRS:
             g_aexps_std = prep(g_aexps_std)
             h_aexps_std = prep(h_aexps_std)
 
-        def table(group, scalars):
-            aff = group.to_affine(fixed_base_mul(group, scalars))
-            if aff.x.shape[0] != rows:
-                aff = Affine(
-                    aff.x[:rows], aff.y[:rows], aff.inf[:rows]
-                )
+        def table(name, group, scalars):
+            with phase_timer(log, f"srs.{name}", rows=rows):
+                aff = group.to_affine(fixed_base_mul(group, scalars))
+                if aff.x.shape[0] != rows:
+                    aff = Affine(
+                        aff.x[:rows], aff.y[:rows], aff.inf[:rows]
+                    )
+                _force(aff.x)
             return aff
 
-        g_x = table(g1, exps_std)
-        g_ax = table(g1, g_aexps_std)
+        g_x = table("g_x", g1, exps_std)
+        g_ax = table("g_ax", g1, g_aexps_std)
         if h_mode == "full":
-            h_x = table(g2, exps_std)
-            h_ax = table(g2, h_aexps_std)
+            h_x = table("h_x", g2, exps_std)
+            h_ax = table("h_ax", g2, h_aexps_std)
             return cls(d, g_x, g_ax, h_x, h_ax)
         if h_mode != "verifier":
             raise ValueError(f"unknown h_mode {h_mode!r}")
